@@ -1,0 +1,138 @@
+"""Headline benchmark: batched RC emission-spectrum throughput per chip.
+
+Metric (BASELINE.md): columns x spectral-bins per second per chip at
+R~500 (500 wavelength bins x 30 layers, hot-Jupiter configuration,
+synthetic opacity fixture, mock chemistry), solving a batch of columns
+through a fixed 20-iteration radiative-convective horizon (emit +
+absorb per iteration + final emit), float32 on the real device.
+
+vs_baseline: speedup over the reference-equivalent execution model — a
+single-column, float64, per-layer-loop numpy implementation of the
+identical algorithm (tests/reference_impl.py), timed on this host for
+the same 20-iteration horizon.  (The reference publishes no benchmark
+numbers, `README.rst:1-13`; its numpy pipeline is the baseline, and
+the oracle is *favorable* to it: the reference additionally re-runs
+C++ FastChem per layer per sweep, which the oracle skips.)
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+
+N_COLUMNS = 2048
+N_BINS = 500
+N_LAYERS = 30
+N_ITERS = 20
+
+
+def _solver_inputs():
+    import jax.numpy as jnp
+
+    from frei_tpu import Grid, Planet, load_example_opacity
+    from frei_tpu.rt.solver import SolverConfig
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=N_BINS, n_layers=N_LAYERS, T_ref=2400.0,
+                dtype=jnp.float32)
+    grid.load_opacities(
+        opacities=load_example_opacity(grid, scale_factor=1.0,
+                                       dtype=jnp.float32))
+    # Fixed-horizon config: convergence exits disabled so every run
+    # does identical work.
+    cfg = SolverConfig(n_timesteps=N_ITERS, n_zero_crossings=10 ** 6,
+                      convergence_dT=0.0)
+    rng = np.random.RandomState(0)
+    base = np.asarray(grid.rt_grid.init_temperatures)
+    T0 = base[None, :] * rng.uniform(0.95, 1.05, (N_COLUMNS, 1))
+    return planet, grid, cfg, T0
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from frei_tpu.rt.solver import solve_rc
+
+    planet, grid, cfg, T0 = _solver_inputs()
+    fn = jax.jit(jax.vmap(partial(
+        solve_rc, consts=grid._consts, params=planet.physics_params(),
+        kappa_all=grid._kappa_fn, cfg=cfg)))
+    T0 = jnp.asarray(T0, jnp.float32)
+
+    res = fn(T0)
+    jax.block_until_ready(res.flux)   # compile + warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = fn(T0)
+        jax.block_until_ready(res.flux)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    assert np.all(np.isfinite(np.asarray(res.flux))), "non-finite flux"
+    return N_COLUMNS * N_BINS / wall, wall
+
+
+def bench_oracle():
+    """Single-column float64 numpy per-layer-loop baseline."""
+    from frei_tpu import Grid, Planet, load_example_opacity
+    from frei_tpu.constants import u_amu
+    from frei_tpu.opacity.rayleigh import rayleigh_total
+    from frei_tpu.stellar.irradiation import f_toa_np
+    from reference_impl import MiniFrei
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=N_BINS, n_layers=N_LAYERS, T_ref=2400.0)
+    # The oracle consumes the table as host numpy float64; the device
+    # dtype of the fixture is irrelevant to its timing.
+    stack = load_example_opacity(grid, scale_factor=1.0)
+    lam_cm = grid.rt_grid.lam_cm
+    mini = MiniFrei(
+        lam_cm=lam_cm, pressures_cgs=grid.rt_grid.pressures_cgs,
+        k_table=np.asarray(stack.values)[0],
+        temps_axis=np.asarray(stack.temps),
+        press_axis_cgs=np.asarray(stack.press_cgs),
+        mmr=1.5e-3 * 18.0 * u_amu / planet.m_bar,
+        sigma_scat=rayleigh_total(lam_cm, planet.m_bar),
+        F_toa=f_toa_np(lam_cm, planet.T_star, planet.a_rstar),
+        g=planet.g, m_bar=planet.m_bar, alpha=planet.alpha)
+    T0 = np.asarray(grid.rt_grid.init_temperatures)
+    t0 = time.perf_counter()
+    mini.emission_spectrum(T0, n_timesteps=N_ITERS,
+                           n_zero_crossings=10 ** 6, convergence_dT=0.0)
+    wall = time.perf_counter() - t0
+    return N_BINS / wall, wall
+
+
+def main():
+    throughput, wall = bench_tpu()
+    base_throughput, base_wall = bench_oracle()
+    print(json.dumps({
+        "metric": "columns x spectral-bins per second per chip "
+                  "(R~500, 30 layers, 20 RC iterations, float32)",
+        "value": round(throughput, 1),
+        "unit": "columns*bins/s",
+        "vs_baseline": round(throughput / base_throughput, 1),
+        "details": {
+            "batch_columns": N_COLUMNS,
+            "wall_s": round(wall, 4),
+            "baseline": "single-column float64 numpy layer-loop "
+                        "(reference execution model), same machine",
+            "baseline_columns_bins_per_s": round(base_throughput, 1),
+            "baseline_wall_s": round(base_wall, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

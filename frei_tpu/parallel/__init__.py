@@ -1,0 +1,2 @@
+from .mesh import BINS, COLUMNS, column_sharding, make_mesh, replicated
+from .solve import initialize_distributed, shard_solver_inputs, solve_ensemble

@@ -1,0 +1,114 @@
+"""Sharded batched radiative-convective solves.
+
+Runs the per-column solver (`frei_tpu.rt.solver.solve_rc`) over an
+ensemble of atmospheric columns on a ('columns', 'bins') device mesh.
+Sharding is declarative: inputs are placed with NamedShardings and the
+vmapped solve is jitted once — XLA GSPMD partitions every sweep and
+inserts the single per-sweep psum that the bolometric quadrature
+requires across the bins axis (see frei_tpu.parallel.mesh).
+
+Multi-host: call :func:`initialize_distributed` first (wraps
+``jax.distributed.initialize``), then build the mesh over
+``jax.devices()`` as usual — data placement and collectives are
+identical, with cross-host traffic riding DCN only for the bins axis
+if it spans hosts (keep bins shards within a host: columns-major mesh
+order does this by construction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..opacity.tables import OpacityStack, kappa_from_stack
+from ..rt.physics import PhysicsParams
+from ..rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
+from .mesh import BINS, COLUMNS, make_mesh
+
+__all__ = ["initialize_distributed", "shard_solver_inputs",
+           "solve_ensemble"]
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Bring up the jax distributed runtime for multi-host pods.
+
+    No-op on a single process.  Replaces the reference's vestigial
+    dask-distributed backend (`core.py:22-31`).
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def shard_solver_inputs(mesh: Mesh, consts: RTConstants,
+                        stack: OpacityStack):
+    """Place the per-configuration constants on the mesh.
+
+    Wavelength-indexed vectors and the opacity table's wavelength axis
+    are sharded across 'bins'; everything else is replicated.  For
+    production-size tables (multi-GB per species, see
+    `docs/frei/opacities.rst`) this is what makes the (species, T, P,
+    wavelength) grid fit: each device holds only its spectral shard.
+    """
+    bins_vec = NamedSharding(mesh, P(BINS))
+    repl = NamedSharding(mesh, P())
+    stack_sh = NamedSharding(mesh, P(None, None, None, BINS))
+    consts = RTConstants(
+        lam_cm=jax.device_put(consts.lam_cm, bins_vec),
+        trapz_w=jax.device_put(consts.trapz_w, bins_vec),
+        pressures=jax.device_put(consts.pressures, repl),
+        sigma_scat=jax.device_put(consts.sigma_scat, bins_vec),
+        F_toa=jax.device_put(consts.F_toa, bins_vec),
+    )
+    stack = stack._replace(
+        values=jax.device_put(stack.values, stack_sh),
+        temps=jax.device_put(stack.temps, repl),
+        press_cgs=jax.device_put(stack.press_cgs, repl),
+    )
+    return consts, stack
+
+
+def solve_ensemble(
+    init_temps,              # (C, L) per-column initial profiles [K]
+    consts: RTConstants,
+    params: PhysicsParams,
+    stack: OpacityStack,
+    chem,
+    cfg: SolverConfig = SolverConfig(),
+    mesh: Optional[Mesh] = None,
+) -> RTResult:
+    """Solve an ensemble of columns, sharded over the mesh.
+
+    Returns a batched :class:`RTResult` (leading columns axis on every
+    field).  Columns that converge early are frozen in place while the
+    rest keep iterating (identical per-column trajectories to
+    single-column runs).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    consts, stack = shard_solver_inputs(mesh, consts, stack)
+
+    def kappa_all(temps, pressures):
+        mmr = chem.mmr(temps, pressures)
+        k, _ = kappa_from_stack(stack, mmr, temps, pressures,
+                                consts.sigma_scat)
+        return k
+
+    cols = NamedSharding(mesh, P(COLUMNS))
+    batched = jax.jit(
+        jax.vmap(partial(solve_rc, consts=consts, params=params,
+                         kappa_all=kappa_all, cfg=cfg)),
+        in_shardings=(cols,),
+    )
+    init_temps = jax.device_put(jnp.asarray(init_temps), cols)
+    return batched(init_temps)
