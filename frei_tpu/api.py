@@ -185,6 +185,13 @@ class Grid:
         ``{isotopologue: (values, temps_K, press_bar)}`` arrays; when
         None, tables are binned from the on-disk opacity store under
         ``path`` (see ``frei_tpu.opacity.etl``).
+
+        ``chemistry`` selects the mixing-ratio model: None or "mock"
+        for the constant-VMR mock (the reference's no-pyfastchem
+        fallback, `chemistry.py:143-153`), "equilibrium" for the JAX
+        FastChem-equivalent solver in table mode, "equilibrium-exact"
+        for the per-call exact solver, or any object with an
+        ``mmr(temps, pressures_cgs)`` method.
         """
         if (self.opacities is None and opacities is None) or force_reload:
             from .opacity.etl import binned_opacity_stack
@@ -203,8 +210,20 @@ class Grid:
 
     def _build_solver_inputs(self):
         stack = self.opacities
-        if self.chemistry is None:
+        if self.chemistry is None or self.chemistry == "mock":
             self.chemistry = MockChemistry(stack.masses_g, self.planet.m_bar)
+        elif isinstance(self.chemistry, str):
+            from .chemistry.fastchem import FastChemJAX
+            if self.chemistry == "equilibrium":
+                self.chemistry = FastChemJAX(stack.species,
+                                             self.planet.m_bar)
+            elif self.chemistry == "equilibrium-exact":
+                self.chemistry = FastChemJAX(stack.species,
+                                             self.planet.m_bar,
+                                             mode="exact")
+            else:
+                raise ValueError(
+                    f"unknown chemistry model {self.chemistry!r}")
         g = self.rt_grid
         sigma = rayleigh_total(g.lam_cm, self.planet.m_bar)
         self._consts = RTConstants(
