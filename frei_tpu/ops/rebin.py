@@ -1,0 +1,98 @@
+"""Resort-rebin: grouped trapezoid reduction of high-resolution opacity
+onto the run's wavelength bins.
+
+The reference implements this as a hand-rolled numba aggregation kernel
+(`/root/reference/frei/interp.py:156-202`, registered into
+numpy_groupies at `interp.py:223-243`) driven through pandas bin codes
+and xarray ``apply_ufunc`` (`interp.py:270-307`), invoked per species in
+``binned_opacity`` (`opacity.py:124-148`).  The semantics, preserved
+exactly here:
+
+* samples are assigned to right-closed bins ``(e_k, e_{k+1}]``
+  (``pd.cut`` defaults, `interp.py:284`);
+* adjacent sample pairs contribute a trapezoid panel ``(y_i + y_{i+1})
+  / 2 * (x_{i+1} - x_i)`` only when BOTH samples fall in the same bin
+  (`interp.py:181-192`) — panels straddling a bin edge are dropped;
+* empty bins yield the fill value 0 (`interp.py:246-267`);
+* the reference then multiplies by the bin width and 1e-3
+  (`opacity.py:137-139`).
+
+On TPU this is a masked segment-sum over the pair axis — one XLA op
+with ``indices_are_sorted`` (wavelengths ascending implies bin codes
+ascending), batched over the (T, P) table axes.  A Pallas kernel
+version lives in ``frei_tpu.ops.rebin_pallas``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bin_codes", "resort_rebin", "reference_bin_scaling"]
+
+
+def bin_codes(x, edges):
+    """Right-closed bin codes: x in (edges[k], edges[k+1]] -> k;
+    outside any bin -> -1.  Matches ``pd.cut`` (`interp.py:284-286`)."""
+    x = jnp.asarray(x)
+    edges = jnp.asarray(edges, x.dtype)
+    idx = jnp.searchsorted(edges, x, side="left") - 1
+    in_range = (x > edges[0]) & (x <= edges[-1])
+    return jnp.where(in_range, idx, -1)
+
+
+def resort_rebin(values, x, edges, *, codes=None):
+    """Grouped trapezoid integral of ``values`` over ``x`` per bin.
+
+    Parameters
+    ----------
+    values : (..., N) array
+        High-resolution samples (leading axes batch over e.g. the
+        (T, P) table grid).
+    x : (N,) array
+        Ascending sample coordinates.
+    edges : (B + 1,) array
+        Ascending bin edges.
+    codes : optional precomputed :func:`bin_codes` of ``x``.
+
+    Returns
+    -------
+    (..., B) array of per-bin trapezoid integrals (0 for empty bins).
+    """
+    values = jnp.asarray(values)
+    x = jnp.asarray(x, values.dtype)
+    n_bins = np.shape(edges)[0] - 1
+    if codes is None:
+        codes = bin_codes(x, edges)
+    left = codes[:-1]
+    same = (left == codes[1:]) & (left >= 0)
+    dx = x[1:] - x[:-1]
+    panels = 0.5 * (values[..., :-1] + values[..., 1:]) * dx
+    panels = jnp.where(same, panels, 0.0)
+    seg = jnp.where(same, left, n_bins)  # park dropped panels out of range
+    if panels.ndim == 1:
+        out = jax.ops.segment_sum(panels, seg, num_segments=n_bins + 1,
+                                  indices_are_sorted=True)
+        return out[:n_bins]
+    return _batched_segsum(panels, seg, n_bins)
+
+
+def _batched_segsum(panels, seg, n_bins):
+    """segment_sum over the last axis with leading batch axes."""
+    flat = panels.reshape(-1, panels.shape[-1])
+    out = jax.vmap(
+        lambda p: jax.ops.segment_sum(p, seg, num_segments=n_bins + 1,
+                                      indices_are_sorted=True)[:n_bins]
+    )(flat)
+    return out.reshape(panels.shape[:-1] + (n_bins,))
+
+
+def reference_bin_scaling(binned, edges, dtype=None):
+    """Apply the reference's post-rebin scaling: multiply the per-bin
+    integral by the bin width and 1e-3 (`opacity.py:137-139`).  Kept as
+    a separate step so the physically-plain per-bin *average*
+    (integral / width) is also available."""
+    edges = jnp.asarray(edges, binned.dtype if dtype is None else dtype)
+    width = edges[1:] - edges[:-1]
+    return binned * width * 1e-3

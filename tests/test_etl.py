@@ -1,0 +1,127 @@
+"""Opacity ETL: store format, DACE ingest, streaming rebin, cache,
+and the native C++ kernel."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frei_tpu.grids import make_rt_grid
+from frei_tpu.native import grouped_trapezoid_native, native_available
+from frei_tpu.opacity.etl import (OpacityStore, binned_opacity_stack,
+                                  binned_opacity_tables,
+                                  make_synthetic_store,
+                                  opacity_dir_to_store)
+from frei_tpu.ops.rebin import resort_rebin
+
+
+@pytest.fixture()
+def cache_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("FREI_TPU_CACHE", str(tmp_path / "cache"))
+    return tmp_path
+
+
+def test_synthetic_store_roundtrip(cache_env):
+    p = make_synthetic_store(cache_env / "syn.ftop", n_hr=5000)
+    st = OpacityStore(p)
+    assert st.isotopologue == "1H2-16O"
+    assert st.species == "H2O"
+    assert st.cube.shape == (3, 4, 5000)
+    assert np.all(np.diff(st.wavelength_um) > 0)
+
+
+def test_dace_bin_dir_ingest(cache_env):
+    """Filename-metadata parsing and cube assembly
+    (`opacity.py:395-483` semantics), including the [1:][::-1]
+    wavelength handling and single-pressure mirroring."""
+    bdir = cache_env / "bins"
+    bdir.mkdir()
+    wn0, wn1 = 10000, 10010     # 1000 wavenumber samples at 0.01 step
+    n = len(np.arange(wn0, wn1, 0.01))
+    rng = np.random.RandomState(0)
+    for T in (1000, 2000):
+        for ptag, pval in [("p100", 10.0), ("n200", 0.01)]:
+            data = rng.uniform(0.0, 1.0, n).astype(np.float32)
+            data.tofile(bdir / f"Out_{wn0}_{wn1}_{T}_{ptag}.bin")
+    out = opacity_dir_to_store(bdir, cache_env / "ing.ftop", "12C-16O")
+    st = OpacityStore(out)
+    assert st.cube.shape == (2, 2, n - 1)
+    np.testing.assert_allclose(sorted(st.press_bar), [0.01, 10.0])
+    np.testing.assert_allclose(sorted(st.temps), [1000, 2000])
+    # ascending microns, first wavenumber sample dropped
+    wav = np.asarray(st.wavelength_um)
+    assert np.all(np.diff(wav) > 0)
+    np.testing.assert_allclose(wav[-1], 1.0 / (wn0 + 0.01) / 1e-4)
+
+
+def test_single_pressure_mirroring(cache_env):
+    bdir = cache_env / "bins1p"
+    bdir.mkdir()
+    n = len(np.arange(5000, 5005, 0.01))
+    data = np.ones(n, dtype=np.float32)
+    data.tofile(bdir / "Out_5000_5005_1500_p200.bin")   # P = 100 bar
+    st = OpacityStore(opacity_dir_to_store(bdir, cache_env / "m.ftop",
+                                           "Na"))
+    np.testing.assert_allclose(sorted(st.press_bar), [0.01, 100.0])
+    assert np.all(st.cube[0, 0] == st.cube[0, 1])
+
+
+def test_binned_stack_end_to_end(cache_env):
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                         n_hr=40000)
+    grid = make_rt_grid(n_wl_bins=64, n_layers=8, T_ref=2400.0)
+    stack = binned_opacity_stack(grid, dtype=jnp.float64)
+    assert stack.species == ("1H2-16O",)
+    assert stack.values.shape == (1, 8, 8, 64)
+    v = np.asarray(stack.values)
+    assert np.all(np.isfinite(v)) and v.max() > 0
+    # cached second load is identical
+    t2 = binned_opacity_tables(grid)
+    np.testing.assert_array_equal(
+        np.asarray(t2["1H2-16O"][0])[
+            np.ix_(*[np.arange(s) for s in v.shape[1:3]])],
+        np.asarray(t2["1H2-16O"][0]))
+
+
+def test_species_filter_and_missing(cache_env):
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                         n_hr=2000)
+    grid = make_rt_grid(n_wl_bins=16, n_layers=4)
+    t = binned_opacity_tables(grid, species=["H2O"], cache=False)
+    assert list(t) == ["1H2-16O"]
+    with pytest.raises(FileNotFoundError):
+        binned_opacity_tables(grid, species=["TiO"], cache=False)
+
+
+def test_native_kernel_matches_xla():
+    if not native_available():
+        pytest.skip("no C++ toolchain available")
+    rng = np.random.RandomState(2)
+    x = np.sort(rng.uniform(0.5, 10.0, 3001))
+    edges = np.logspace(np.log10(0.49), 1.0, 41)
+    vals = rng.lognormal(0, 1, (7, 3001)).astype(np.float32)
+    want = np.asarray(resort_rebin(jnp.asarray(vals, jnp.float64),
+                                   jnp.asarray(x), jnp.asarray(edges)))
+    got = grouped_trapezoid_native(vals, x, edges)
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_engines_agree(cache_env):
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                         n_hr=20000)
+    grid = make_rt_grid(n_wl_bins=32, n_layers=4)
+    t_xla = binned_opacity_tables(grid, engine="xla", cache=False)
+    engines = ["pallas"] if os.environ.get("FREI_TPU_TEST_PALLAS") else []
+    if native_available():
+        engines.append("native")
+    for eng in engines:
+        t = binned_opacity_tables(grid, engine=eng, cache=False)
+        np.testing.assert_allclose(
+            t["1H2-16O"][0], t_xla["1H2-16O"][0], rtol=2e-4, atol=1e-8)

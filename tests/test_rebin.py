@@ -1,0 +1,101 @@
+"""Resort-rebin kernels vs a literal numpy transcription of the
+reference's numba Trapz semantics (`frei/interp.py:174-194`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frei_tpu.ops.rebin import bin_codes, reference_bin_scaling, resort_rebin
+from frei_tpu.ops.rebin_pallas import resort_rebin_pallas
+
+
+def trapz_in_bins_oracle(values, x, edges):
+    """Loop transcription: right-closed pd.cut bins; a trapezoid panel
+    counts only when both samples share a bin; empty bins are 0."""
+    n_bins = len(edges) - 1
+    codes = np.full(x.shape, -1, dtype=int)
+    for k in range(n_bins):
+        codes[(x > edges[k]) & (x <= edges[k + 1])] = k
+    out = np.zeros(values.shape[:-1] + (n_bins,))
+    for i in range(len(x) - 1):
+        if codes[i] >= 0 and codes[i] == codes[i + 1]:
+            out[..., codes[i]] += (
+                (values[..., i] + values[..., i + 1]) / 2
+                * (x[i + 1] - x[i]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.RandomState(5)
+    n_hr, n_bins = 4001, 37
+    x = np.sort(rng.uniform(0.5, 10.0, n_hr))
+    edges = np.logspace(np.log10(0.48), np.log10(10.2), n_bins + 1)
+    values = rng.lognormal(0.0, 2.0, (6, n_hr))
+    return x, edges, values
+
+
+def test_bin_codes_right_closed(problem):
+    x, edges, _ = problem
+    codes = np.asarray(bin_codes(jnp.asarray(x), jnp.asarray(edges)))
+    # exactly on an inner edge -> lower bin (right-closed)
+    c = np.asarray(bin_codes(jnp.asarray(edges[3]), jnp.asarray(edges)))
+    assert c == 2
+    # below the first edge or above the last -> -1
+    assert np.asarray(bin_codes(jnp.asarray(edges[0]),
+                                jnp.asarray(edges))) == -1
+    assert np.asarray(bin_codes(jnp.asarray(edges[-1] + 1.0),
+                                jnp.asarray(edges))) == -1
+    assert codes.min() >= 0 and codes.max() == len(edges) - 2
+
+
+def test_resort_rebin_matches_oracle(problem):
+    x, edges, values = problem
+    want = trapz_in_bins_oracle(values, x, edges)
+    got = np.asarray(resort_rebin(jnp.asarray(values), jnp.asarray(x),
+                                  jnp.asarray(edges)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_empty_bins_are_zero():
+    x = np.array([1.0, 1.1, 5.0, 5.1])
+    edges = np.array([0.5, 2.0, 3.0, 6.0])
+    got = np.asarray(resort_rebin(jnp.asarray(x * 0 + 2.0),
+                                  jnp.asarray(x), jnp.asarray(edges)))
+    assert got[1] == 0.0          # bin (2, 3] has no samples
+    np.testing.assert_allclose(got[0], 2.0 * 0.1)
+    np.testing.assert_allclose(got[2], 2.0 * 0.1, rtol=1e-12)
+
+
+def test_reference_scaling(problem):
+    x, edges, values = problem
+    binned = resort_rebin(jnp.asarray(values), jnp.asarray(x),
+                          jnp.asarray(edges))
+    scaled = np.asarray(reference_bin_scaling(binned, jnp.asarray(edges)))
+    width = edges[1:] - edges[:-1]
+    np.testing.assert_allclose(scaled, np.asarray(binned) * width * 1e-3,
+                               rtol=1e-12)
+
+
+def test_pallas_kernel_matches_xla(problem):
+    x, edges, values = problem
+    want = np.asarray(resort_rebin(
+        jnp.asarray(values, jnp.float32), jnp.asarray(x),
+        jnp.asarray(edges)))
+    got = np.asarray(resort_rebin_pallas(
+        jnp.asarray(values), jnp.asarray(x), jnp.asarray(edges),
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_kernel_padding_edges():
+    """Ragged sizes: rows/samples not multiples of the tile sizes."""
+    rng = np.random.RandomState(9)
+    x = np.sort(rng.uniform(0.0, 1.0, 777))
+    edges = np.linspace(-0.01, 1.01, 12)
+    values = rng.uniform(0, 1, (3, 777))
+    want = trapz_in_bins_oracle(values, x, edges)
+    got = np.asarray(resort_rebin_pallas(
+        jnp.asarray(values), jnp.asarray(x), jnp.asarray(edges),
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
