@@ -250,7 +250,8 @@ class Grid:
 
     # -- the solve ---------------------------------------------------------
     def emission_spectrum(self, n_timesteps=1, n_zero_crossings=2,
-                          convergence_dT=3.0, associative=True):
+                          convergence_dT=3.0, associative=True,
+                          progress=False):
         """Compute the emission spectrum (reference `core.py:233-338`).
 
         Returns
@@ -269,7 +270,12 @@ class Grid:
             n_zero_crossings=int(n_zero_crossings),
             convergence_dT=units.to_kelvin(convergence_dT),
             associative=associative,
+            progress=bool(progress),
         )
+        import time
+
+        from .diag.telemetry import SolveMetrics
+        t0 = time.perf_counter()
         result: RTResult = solve_rc(
             jnp.asarray(self.rt_grid.init_temperatures, self.dtype),
             self._consts,
@@ -277,7 +283,10 @@ class Grid:
             self._kappa_fn,
             cfg,
         )
+        jax.block_until_ready(result.flux)
         self.last_result = result
+        self.last_metrics = SolveMetrics.from_result(
+            result, time.perf_counter() - t0)
         n_hist = int(result.n_history)
         spec = Spectrum(
             wavelength_um=np.asarray(self.lam),

@@ -1,0 +1,92 @@
+"""Observability: convergence telemetry, profiling, NaN debugging.
+
+The reference's only observability is a tqdm progress bar with a
+``max|dT|`` / converged-layer-count description
+(`/root/reference/frei/core.py:269-271,312-315`).  frei_tpu keeps that
+signal — streamed out of the jitted while-loop with
+``jax.debug.callback`` — and adds structured per-solve metrics, a
+``jax.profiler`` trace context, and a NaN-debugging toggle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["SolveMetrics", "progress_printer", "profile_trace",
+           "enable_nan_debugging"]
+
+
+@dataclass
+class SolveMetrics:
+    """Structured summary of one radiative-convective solve."""
+
+    n_iterations: int
+    converged_layers: int
+    n_layers: int
+    max_dT_history: np.ndarray
+    wall_seconds: float
+    columns: int = 1
+    bins: int = 0
+
+    @property
+    def converged(self) -> bool:
+        return self.converged_layers == self.n_layers
+
+    @property
+    def columns_bins_per_second(self) -> float:
+        if self.wall_seconds <= 0:
+            return float("nan")
+        return self.columns * self.bins / self.wall_seconds
+
+    def summary(self) -> str:
+        tail = (self.max_dT_history[self.n_iterations - 1]
+                if self.n_iterations > 0 else float("nan"))
+        return (f"iters={self.n_iterations} "
+                f"conv={self.converged_layers}/{self.n_layers} "
+                f"max|dT|={tail:.2f} K wall={self.wall_seconds:.3f}s")
+
+    @classmethod
+    def from_result(cls, result, wall_seconds: float,
+                    columns: int = 1) -> "SolveMetrics":
+        conv = np.asarray(result.converged)
+        return cls(
+            n_iterations=int(np.max(np.asarray(result.n_iterations))),
+            converged_layers=int(conv.sum()) if conv.ndim == 1
+            else int(conv.all(axis=-1).sum()),
+            n_layers=conv.shape[-1] if conv.ndim == 1 else conv.shape[0],
+            max_dT_history=np.asarray(result.max_dT_history),
+            wall_seconds=wall_seconds,
+            columns=columns,
+            bins=int(np.asarray(result.flux).shape[-1]),
+        )
+
+
+def progress_printer(it, max_dT, n_conv, n_layers):
+    """Default progress callback: the reference's tqdm description line
+    (`core.py:312-315`), printed per outer iteration."""
+    print(f"RC iter {int(it):4d}: max|dT| = {float(max_dT):8.2f} K; "
+          f"conv = {int(n_conv)}/{int(n_layers)}", flush=True)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/frei_tpu_trace"):
+    """Capture a jax.profiler trace around a block (view with
+    TensorBoard or xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_debugging(enable: bool = True):
+    """Toggle jax_debug_nans: the solver is functional, so the
+    reference's race-condition surface does not exist (SURVEY.md
+    section 5); NaN provenance is the useful debug axis instead."""
+    jax.config.update("jax_debug_nans", enable)

@@ -54,6 +54,7 @@ class SolverConfig(NamedTuple):
     n_zero_crossings: int = 2      # oscillation threshold (`core.py:233`)
     convergence_dT: float = 3.0    # [K] (`core.py:233`)
     associative: bool = True       # log-depth layer scan vs lax.scan
+    progress: bool = False         # stream per-iteration telemetry
 
 
 class RTConstants(NamedTuple):
@@ -158,6 +159,11 @@ def solve_rc(
                        | (jnp.abs(a.dT) < cfg.convergence_dT))
         new_done = jnp.all(conv_layers)
         maxdT2 = maxdT.at[it].set(jnp.max(jnp.abs(a.dT)))
+        if cfg.progress:
+            from ..diag.telemetry import progress_printer
+            jax.debug.callback(progress_printer, it,
+                               jnp.max(jnp.abs(a.dT)),
+                               jnp.sum(conv_layers), L)
 
         # Freeze converged columns (no-op for a single column: the
         # while cond exits before a frozen body would run; required for

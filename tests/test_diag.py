@@ -1,0 +1,99 @@
+"""Dashboard, contribution function, telemetry, spectrum binning."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frei_tpu import Grid, Planet, load_example_opacity
+from frei_tpu.diag.plot import contribution_function, dashboard
+from frei_tpu.diag.telemetry import SolveMetrics
+from frei_tpu.stellar.phoenix import (bin_spectrum_mean,
+                                      get_binned_blackbody_spectrum)
+
+
+@pytest.fixture(scope="module")
+def solved_grid():
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=48, n_layers=8, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(
+        opacities=load_example_opacity(grid, scale_factor=1.0,
+                                       dtype=jnp.float64))
+    spec, temps, hist, dtaus = grid.emission_spectrum(n_timesteps=2)
+    return grid, spec, temps, hist, dtaus
+
+
+def test_contribution_function_normalized(solved_grid):
+    grid, spec, temps, hist, dtaus = solved_grid
+    cf = contribution_function(dtaus, grid.pressures, temps, grid.lam)
+    assert cf.shape == (8, 48)
+    np.testing.assert_allclose(cf.sum(axis=0), 1.0, rtol=1e-12)
+    assert np.all(cf >= 0)
+
+
+def test_dashboard_renders(solved_grid):
+    grid, spec, temps, hist, dtaus = solved_grid
+    fig, ax = grid.emission_dashboard(spec, temps, hist, dtaus,
+                                      plot_phoenix=False)
+    assert len(ax) == 5
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_dashboard_with_blackbody_comparison(solved_grid):
+    grid, spec, temps, hist, dtaus = solved_grid
+    bb = get_binned_blackbody_spectrum(2400.0, grid.wl_bins, grid.lam)
+    assert bb.shape == (48,)
+    fig, ax = dashboard(grid, spec, bb, dtaus, temps, hist)
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_phoenix_requires_expecto(solved_grid):
+    grid, spec, temps, hist, dtaus = solved_grid
+    from frei_tpu.stellar.phoenix import get_binned_phoenix_spectrum
+    with pytest.raises(ImportError, match="expecto"):
+        get_binned_phoenix_spectrum(2400.0, 24.79, grid.wl_bins, grid.lam)
+
+
+def test_bin_spectrum_mean():
+    wav = np.linspace(1.0, 2.0, 101)
+    flux = np.full(101, 7.0)
+    edges = np.array([1.0, 1.25, 1.5, 3.0])
+    out = bin_spectrum_mean(flux, wav, edges, 5)
+    np.testing.assert_allclose(out[:3], 7.0)
+    np.testing.assert_allclose(out[3:], 0.0)   # zero-padded tail
+
+
+def test_solve_metrics(solved_grid):
+    grid, *_ = solved_grid
+    m: SolveMetrics = grid.last_metrics
+    assert m.n_iterations >= 1
+    assert m.bins == 48
+    assert "max|dT|" in m.summary()
+
+
+def test_progress_callback(solved_grid, capsys):
+    grid, *_ = solved_grid
+    grid.emission_spectrum(n_timesteps=2, progress=True)
+    out = capsys.readouterr().out
+    assert "RC iter" in out and "max|dT|" in out
+
+
+def test_checkpoint_roundtrip(solved_grid, tmp_path):
+    from frei_tpu.io.checkpoint import load_solution, save_solution
+    grid, *_ = solved_grid
+    p = save_solution(tmp_path / "sol.npz", grid.last_result, note=[1, 2])
+    state = load_solution(p)
+    np.testing.assert_array_equal(state["final_temps"],
+                                  np.asarray(grid.last_result.final_temps))
+    np.testing.assert_array_equal(state["extra_note"], [1, 2])
+    # resume from the saved profile
+    planet = Planet.from_hot_jupiter()
+    g2 = Grid(planet, n_wl_bins=48, n_layers=8,
+              init_temperatures=state["final_temps"], dtype=jnp.float64)
+    assert np.allclose(g2.init_temperatures, state["final_temps"])
