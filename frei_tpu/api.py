@@ -250,7 +250,7 @@ class Grid:
 
     # -- the solve ---------------------------------------------------------
     def emission_spectrum(self, n_timesteps=1, n_zero_crossings=2,
-                          convergence_dT=3.0, associative=True,
+                          convergence_dT=3.0, associative=False,
                           progress=False):
         """Compute the emission spectrum (reference `core.py:233-338`).
 

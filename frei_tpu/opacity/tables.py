@@ -13,8 +13,9 @@ O(layers x species) scipy calls per sweep.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,7 +23,32 @@ from .. import constants as const
 from ..chemistry.names import iso_to_mass_g
 
 __all__ = ["OpacityStack", "make_opacity_stack", "interp_tp",
-           "kappa_from_stack", "load_example_opacity"]
+           "set_interp_mode", "kappa_from_stack", "load_example_opacity"]
+
+#: None = auto (one-hot/MXU on TPU backends, gather elsewhere);
+#: True/False force the mode (used by the cross-check tests).
+_INTERP_ONEHOT: Optional[bool] = None
+
+
+def set_interp_mode(mode: Optional[str]) -> None:
+    """Select the (T, P) interpolation engine: ``"onehot"``,
+    ``"gather"``, or None for backend auto-detection."""
+    global _INTERP_ONEHOT
+    if mode is None:
+        _INTERP_ONEHOT = None
+    elif mode == "onehot":
+        _INTERP_ONEHOT = True
+    elif mode == "gather":
+        _INTERP_ONEHOT = False
+    else:
+        raise ValueError(f"unknown interp mode {mode!r}")
+
+
+def _onehot_selected() -> bool:
+    if _INTERP_ONEHOT is not None:
+        return _INTERP_ONEHOT
+    # 'axon' is the hosted-TPU PJRT plugin's platform name
+    return jax.default_backend() in ("tpu", "axon")
 
 
 class OpacityStack(NamedTuple):
@@ -121,6 +147,14 @@ def interp_tp(stack: OpacityStack, temperature, pressure_cgs):
     a single temperature point skip the T axis, as the reference does
     (`opacity.py:256-259`).
 
+    Two engines compute the same function (cross-checked to float32
+    roundoff in ``tests/test_opacity.py``): a 4-point gather (exact,
+    fast on CPU) and a weighted one-hot matrix product that XLA maps
+    onto the MXU at ``Precision.HIGHEST`` — about 2x faster than the
+    gather on TPU at production shapes, where fancy-index gathers
+    lower poorly.  Selection is automatic per backend; override with
+    :func:`set_interp_mode`.
+
     Parameters
     ----------
     temperature, pressure_cgs : scalars or arrays of shape B
@@ -132,6 +166,9 @@ def interp_tp(stack: OpacityStack, temperature, pressure_cgs):
     """
     values = stack.values
     nT = values.shape[1]
+
+    if nT > 1 and _onehot_selected():
+        return _interp_tp_onehot(stack, temperature, pressure_cgs)
 
     pj, pf, p_ok = _axis_weights(stack.press_cgs, pressure_cgs)
     if nT == 1:
@@ -149,6 +186,37 @@ def interp_tp(stack: OpacityStack, temperature, pressure_cgs):
     pf = pf[..., None]
     out = ((1.0 - tf) * ((1.0 - pf) * v00 + pf * v01)
            + tf * ((1.0 - pf) * v10 + pf * v11))
+    ok = (t_ok & p_ok)[..., None]
+    return jnp.where(ok, out, 0.0)
+
+
+def _interp_tp_onehot(stack: OpacityStack, temperature, pressure_cgs):
+    """MXU formulation of :func:`interp_tp`: build the (points, nT*nP)
+    bilinear-weight matrix as a sum of four one-hots and contract it
+    with the (nT*nP, species*W) table in one ``Precision.HIGHEST``
+    matmul.  Numerically equal to the gather path up to float32
+    summation order (~1e-7 relative)."""
+    values = stack.values                      # (S, nT, nP, W)
+    S, nT, nP, W = values.shape
+    temperature, pressure_cgs = jnp.broadcast_arrays(
+        jnp.asarray(temperature), jnp.asarray(pressure_cgs))
+    B = temperature.shape
+
+    ti, tf, t_ok = _axis_weights(stack.temps, temperature)
+    pj, pf, p_ok = _axis_weights(stack.press_cgs, pressure_cgs)
+    i00 = (ti * nP + pj).reshape(-1)
+    tf = tf.reshape(-1)
+    pf = pf.reshape(-1)
+    M = nT * nP
+    dt = values.dtype
+    oh = (jax.nn.one_hot(i00, M, dtype=dt) * ((1 - tf) * (1 - pf))[:, None]
+          + jax.nn.one_hot(i00 + 1, M, dtype=dt) * ((1 - tf) * pf)[:, None]
+          + jax.nn.one_hot(i00 + nP, M, dtype=dt) * (tf * (1 - pf))[:, None]
+          + jax.nn.one_hot(i00 + nP + 1, M, dtype=dt) * (tf * pf)[:, None])
+    flat = jnp.moveaxis(values.reshape(S, M, W), 0, 1).reshape(M, S * W)
+    out = jnp.matmul(oh, flat,
+                     precision=jax.lax.Precision.HIGHEST)  # (N, S*W)
+    out = jnp.moveaxis(out.reshape(B + (S, W)), -2, 0)     # (S,) + B + (W,)
     ok = (t_ok & p_ok)[..., None]
     return jnp.where(ok, out, 0.0)
 

@@ -25,9 +25,10 @@ line) are:
 This turns each sweep into: [hoisted kappa for all layers] ->
 [two-stream couplers for all layers] -> [one affine prefix scan over
 layers] -> [vectorized flux/temperature postprocessing].  The prefix
-scan runs either as ``lax.associative_scan`` (log-depth, the default)
-or ``lax.scan`` (linear, for cross-checking); both reproduce the
-reference's Gauss-Seidel-like update ordering exactly.
+scan runs either as ``lax.scan`` (the default — fastest on TPU for
+typical layer counts, see SolverConfig.associative) or
+``lax.associative_scan`` (log-depth, for deep grids); both reproduce
+the reference's Gauss-Seidel-like update ordering exactly.
 
 Boundary quirks faithfully reproduced (SURVEY.md section 7 "hard
 parts"): the top-layer pressure extrapolation ``p2 = p[-1] p[-2]/p[-3]``
@@ -99,7 +100,7 @@ def _affine_prefix(A, c, init, associative: bool):
 def emit_sweep(
     temps, F_up, F_down, k_all, sigma_scat, F_toa,
     lam_cm, trapz_w, pressures, params: PhysicsParams,
-    associative: bool = True,
+    associative: bool = False,
 ) -> SweepResult:
     """One bottom-to-top emission sweep (one timestep of reference
     ``emit``, `twostream.py:290-421`).
@@ -131,8 +132,12 @@ def emit_sweep(
     # computes it — k already contains sigma (`twostream.py:376-378`).
     omega_0 = sigma_scat / (sigma_scat + k)
 
-    B1 = planck_lambda(T1[:, None], lam_cm[None, :])
-    B2 = planck_lambda(T2[:, None], lam_cm[None, :])
+    # One Planck evaluation per layer: B1/B2 are shifted views of the
+    # same per-layer radiances (T2 duplicates T1 rows), so evaluate
+    # the transcendental once for all L layers and slice.
+    B_all = planck_lambda(temps[:, None], lam_cm[None, :])
+    B1 = B_all[1:]
+    B2 = jnp.concatenate([B_all[2:], B_all[-1:]])
     cp = two_stream_couplers(dtau, omega_0, B1, B2, g_0=0.0)
 
     # Stale downward flux entering each layer top: F_down[i+1] for
@@ -172,7 +177,7 @@ def emit_sweep(
 def absorb_sweep(
     temps, F_up, F_down, k_all, sigma_scat, F_toa,
     lam_cm, trapz_w, pressures, params: PhysicsParams,
-    associative: bool = True,
+    associative: bool = False,
 ) -> SweepResult:
     """One top-to-bottom absorption sweep (one timestep of reference
     ``absorb``, `twostream.py:424-550`).
@@ -195,8 +200,10 @@ def absorb_sweep(
     dtau = physics.delta_tau(k, p1[:, None], p2[:, None], params.g)
     omega_0 = sigma_scat / (sigma_scat + k)
 
-    B1 = planck_lambda(T1[:, None], lam_cm[None, :])
-    B2 = planck_lambda(T2[:, None], lam_cm[None, :])
+    # One Planck evaluation per layer (see emit_sweep).
+    B_all = planck_lambda(temps[:, None], lam_cm[None, :])
+    B1 = B_all[:-1]
+    B2 = B_all[1:]
     cp = two_stream_couplers(dtau, omega_0, B1, B2, g_0=0.0)
 
     F1_up_stale = F_up[:-1]

@@ -97,3 +97,40 @@ def test_kappa_matches_reference_structure():
     expect = (np.asarray(mmr)[0, 0] * np.asarray(st.values)[0, 0, 0]
               + np.asarray(sigma))
     np.testing.assert_allclose(k, expect, rtol=1e-12)
+
+
+def test_interp_onehot_matches_gather():
+    """The MXU one-hot interpolation engine equals the gather engine
+    to float32 roundoff, including out-of-range zero fill and vmap
+    batching (the solver's call pattern)."""
+    import jax
+
+    from frei_tpu.opacity import tables as T
+
+    rng = np.random.RandomState(3)
+    nT, nP, W, S = 7, 5, 33, 2
+    tgrid = np.sort(rng.uniform(500, 3000, nT))
+    pgrid = np.sort(rng.uniform(1e-3, 1e2, nP))
+    tabs = {
+        name: (rng.rand(nT, nP, W), tgrid, pgrid)
+        for name in ("1H2-16O", "48Ti-16O")
+    }
+    stack = make_opacity_stack(tabs, dtype=jnp.float32)
+    # include points outside the hull on both axes
+    temps = jnp.asarray(rng.uniform(300, 3500, (4, 6)), jnp.float32)
+    press = jnp.asarray(
+        rng.uniform(5e2, 2e8, (4, 6)), jnp.float32)  # barye
+    try:
+        T.set_interp_mode("gather")
+        a = jax.vmap(lambda t, p: interp_tp(stack, t, p))(temps, press)
+        T.set_interp_mode("onehot")
+        b = jax.vmap(lambda t, p: interp_tp(stack, t, p))(temps, press)
+    finally:
+        T.set_interp_mode(None)
+    assert a.shape == b.shape == (4, S, 6, W)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=1e-7)
+    # zero fill preserved outside the hull
+    out = np.asarray(temps) > tgrid.max()
+    assert np.all(np.asarray(b)[np.broadcast_to(
+        out[:, None, :], (4, S, 6))] == 0.0)
