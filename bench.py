@@ -62,12 +62,13 @@ def bench_tpu():
     import jax
     import jax.numpy as jnp
 
-    from frei_tpu.rt.solver import solve_rc
+    from frei_tpu.rt.solver import solve_rc_batched
 
     planet, grid, cfg, T0 = _solver_inputs()
-    fn = jax.jit(jax.vmap(partial(
-        solve_rc, consts=grid._consts, params=planet.physics_params(),
-        kappa_all=grid._kappa_fn, cfg=cfg)))
+    fn = partial(
+        solve_rc_batched, consts=grid._consts,
+        params=planet.physics_params(), kappa_all=grid._kappa_fn,
+        cfg=cfg)  # engine="auto": fused Pallas sweeps on TPU
     T0 = jnp.asarray(T0, jnp.float32)
 
     res = fn(T0)

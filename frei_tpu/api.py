@@ -240,11 +240,25 @@ class Grid:
         chem_ref = self.chemistry
         sigma_dev = self._consts.sigma_scat
 
-        def kappa_all(temps, pressures):
-            mmr = chem_ref.mmr(temps, pressures)
-            k, _ = kappa_from_stack(stack_ref, mmr, temps, pressures,
-                                    sigma_dev)
-            return k
+        if stack.values.shape[1] > 1:
+            # The solver only ever looks up kappa on the fixed layer
+            # pressures — hoist the P-interpolation out of the hot
+            # loop entirely (see LayerKappaTables).
+            from .opacity.tables import (kappa_from_layer_tables,
+                                         make_layer_tables)
+            lt = make_layer_tables(stack, self._consts.pressures)
+
+            def kappa_all(temps, pressures):
+                del pressures  # fixed to the layer grid by design
+                mmr = chem_ref.mmr(temps, self._consts.pressures)
+                k, _ = kappa_from_layer_tables(lt, mmr, temps, sigma_dev)
+                return k
+        else:
+            def kappa_all(temps, pressures):
+                mmr = chem_ref.mmr(temps, pressures)
+                k, _ = kappa_from_stack(stack_ref, mmr, temps, pressures,
+                                        sigma_dev)
+                return k
 
         self._kappa_fn = kappa_all
 

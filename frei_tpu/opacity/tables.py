@@ -25,28 +25,26 @@ from ..chemistry.names import iso_to_mass_g
 __all__ = ["OpacityStack", "make_opacity_stack", "interp_tp",
            "set_interp_mode", "kappa_from_stack", "load_example_opacity"]
 
-#: None = auto (one-hot/MXU on TPU backends, gather elsewhere);
-#: True/False force the mode (used by the cross-check tests).
-_INTERP_ONEHOT: Optional[bool] = None
+#: None = auto (one-hot/MXU on TPU backends, gather elsewhere); or an
+#: explicit engine name "onehot" / "gather" / "pallas" (cross-check
+#: tests force these).
+_INTERP_ONEHOT: Optional[str] = None
 
 
 def set_interp_mode(mode: Optional[str]) -> None:
     """Select the (T, P) interpolation engine: ``"onehot"``,
-    ``"gather"``, or None for backend auto-detection."""
+    ``"gather"``, ``"pallas"`` (fused kernel for batched kappa), or
+    None for backend auto-detection."""
     global _INTERP_ONEHOT
-    if mode is None:
-        _INTERP_ONEHOT = None
-    elif mode == "onehot":
-        _INTERP_ONEHOT = True
-    elif mode == "gather":
-        _INTERP_ONEHOT = False
+    if mode in (None, "onehot", "gather", "pallas"):
+        _INTERP_ONEHOT = mode
     else:
         raise ValueError(f"unknown interp mode {mode!r}")
 
 
 def _onehot_selected() -> bool:
     if _INTERP_ONEHOT is not None:
-        return _INTERP_ONEHOT
+        return _INTERP_ONEHOT in ("onehot", "pallas")
     # 'axon' is the hosted-TPU PJRT plugin's platform name
     return jax.default_backend() in ("tpu", "axon")
 
@@ -244,9 +242,90 @@ def kappa_from_stack(stack: OpacityStack, mmr, temperature, pressure_cgs,
     Returns
     -------
     k_total, sigma_scat : (B + (W,)) and (W,) arrays
+
+    Notes
+    -----
+    For explicitly-batched lookups (``temperature.ndim >= 2``, the
+    ``solve_rc_batched`` call pattern) on a TPU backend, the whole
+    lookup runs as one fused Pallas kernel (``ops.kappa_pallas``):
+    the bilinear weights never touch HBM and the species sum + sigma
+    add fold into the same pass.  Per-column (vmapped) callers keep
+    the XLA path, whose engine :func:`set_interp_mode` controls.
     """
+    temperature = jnp.asarray(temperature)
+    if (_INTERP_ONEHOT == "pallas" and temperature.ndim >= 2
+            and stack.values.shape[1] > 1):
+        # Opt-in fused Pallas lookup (set_interp_mode("pallas")).
+        # Measured slower than the XLA one-hot on v5e (the in-kernel
+        # float32 MXU passes dominate), kept as an alternative engine.
+        from ..ops.kappa_pallas import kappa_pallas, kappa_pallas_applicable
+        n_points = 1
+        for d in jnp.broadcast_shapes(temperature.shape,
+                                      jnp.asarray(pressure_cgs).shape):
+            n_points *= d
+        if kappa_pallas_applicable(stack, n_points):
+            return kappa_pallas(stack, mmr, temperature, pressure_cgs,
+                                sigma_scat)
     per_species = interp_tp(stack, temperature, pressure_cgs)
     k_mol = jnp.sum(mmr[..., None] * per_species, axis=0)
+    return k_mol + sigma_scat, sigma_scat
+
+
+class LayerKappaTables(NamedTuple):
+    """Per-layer pre-P-interpolated opacity tables.
+
+    The solver's kappa lookup points are always (T_l, p_l) on the
+    run's FIXED layer-pressure grid — only the temperatures change
+    between sweeps (`/root/reference/frei/twostream.py:368-370` with
+    `tp.py`'s static pressure grid).  Bilinear interpolation therefore
+    factors exactly: interpolate the (T, P) tables onto each layer's
+    pressure ONCE per configuration (here), leaving a per-sweep 1-D
+    linear interpolation in temperature — a (points, nT)-wide weight
+    contraction instead of (points, nT*nP), ~9x cheaper on TPU.
+    Values match the bilinear 4-corner blend up to float32 rounding
+    (linear interpolation commutes axis-by-axis).
+    """
+
+    tab: jnp.ndarray     # (L, S*nT, W): P-interp'd, zero outside P hull
+    temps: jnp.ndarray   # (nT,) ascending [K]
+    n_species: int
+
+
+def make_layer_tables(stack: OpacityStack,
+                      pressures_cgs) -> LayerKappaTables:
+    """Hoist the pressure axis of the bilinear kappa interpolation
+    onto the fixed layer grid (see :class:`LayerKappaTables`)."""
+    v = stack.values                                  # (S, nT, nP, W)
+    S, nT, nP, W = v.shape
+    pj, pf, p_ok = _axis_weights(stack.press_cgs,
+                                 jnp.asarray(pressures_cgs))
+    w1 = (pf * p_ok)[None, None, :, None]
+    w0 = ((1.0 - pf) * p_ok)[None, None, :, None]
+    tabs = w0 * v[:, :, pj, :] + w1 * v[:, :, pj + 1, :]  # (S, nT, L, W)
+    tab = jnp.moveaxis(tabs, 2, 0).reshape(
+        pressures_cgs.shape[0], S * nT, W)            # k = s*nT + t
+    return LayerKappaTables(tab=tab, temps=stack.temps, n_species=S)
+
+
+def kappa_from_layer_tables(lt: LayerKappaTables, mmr, temperature,
+                            sigma_scat):
+    """Total opacity on the layer grid: 1-D T-interp weight rows
+    (species-weighted) contracted with the per-layer tables on the
+    MXU.  ``temperature`` is (..., L); ``mmr`` is (S, ..., L).
+    Returns (k_total, sigma_scat) like :func:`kappa_from_stack`, with
+    identical out-of-hull zero-fill semantics."""
+    nT = lt.temps.shape[0]
+    dt = lt.tab.dtype
+    ti, tf, t_ok = _axis_weights(lt.temps, temperature)
+    w_lo = ((1.0 - tf) * t_ok).astype(dt)
+    w_hi = (tf * t_ok).astype(dt)
+    oh = (jax.nn.one_hot(ti, nT, dtype=dt) * w_lo[..., None]
+          + jax.nn.one_hot(ti + 1, nT, dtype=dt) * w_hi[..., None])
+    m = jnp.moveaxis(mmr, 0, -1).astype(dt)           # (..., L, S)
+    ohs = (m[..., :, None] * oh[..., None, :]).reshape(
+        temperature.shape + (lt.n_species * nT,))
+    k_mol = jnp.einsum('...lk,lkw->...lw', ohs, lt.tab,
+                       precision=jax.lax.Precision.HIGHEST)
     return k_mol + sigma_scat, sigma_scat
 
 

@@ -1,0 +1,279 @@
+"""Fused batched emit/absorb sweep kernels (Pallas TPU).
+
+The XLA sweep path (``frei_tpu.rt.sweeps``) materializes every
+intermediate of a sweep in HBM: the per-layer Planck radiances, the
+two-stream couplers, the scan levels, and the flux updates — ~10
+(columns, layers, bins) round trips per sweep on top of the 3 the
+physics actually requires (read kappa, read + write the flux state).
+These kernels fuse one whole sweep into a single VMEM-resident pass:
+
+  per (column-block) grid instance, with the full (L, W) slab of the
+  block's columns in VMEM:
+    loop over layers (static unroll, the reference's sequential
+    Gauss-Seidel ordering, `/root/reference/frei/twostream.py:356,491`):
+      Planck radiance from precomputed spectral constants (1 expm1
+      per layer instead of 2 — the B2 row is the next step's B1),
+      two-stream couplers (the SAME ``two_stream_couplers`` function
+      as the XLA path — single source of truth for the physics),
+      the affine flux recurrence carried in registers,
+      the four bolometric quadratures reduced in-VMEM.
+
+HBM traffic per sweep drops to: read kappa + F_up + F_down, write
+F_up + F_down (+ the tiny (columns, 4, layers) quadrature block) —
+the speed-of-light minimum for this sweep formulation.
+
+The temperature-tendency epilogue (flux-divergence -> adaptive
+timestep -> dT, `twostream.py:396-405`) runs as ordinary XLA on the
+kernel's (columns, layers) quadrature outputs, reusing
+``frei_tpu.rt.physics`` verbatim — it is O(columns x layers), a
+thousandth of the sweep's data.
+
+Layout contract: ``columns`` is the leading (grid-blocked) axis; the
+(L, W) slab of each column block lives in VMEM, so W tiles the lane
+dimension and L the sublanes.  W need not be a multiple of 128 —
+Mosaic masks the padded lanes (reductions included).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as const
+from ..rt import physics
+from ..rt.physics import PhysicsParams
+from .twostream import expm1_series, two_stream_couplers
+
+__all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
+           "absorb_sweep_pallas"]
+
+
+class SweepConsts(NamedTuple):
+    """Device-resident per-configuration constants for the fused
+    sweep kernels (all rows shaped (1, N) for TPU layout)."""
+
+    dtf_emit: jnp.ndarray    # (1, L-1) (p1 - p2) / g per swept layer, emit
+    dtf_absorb: jnp.ndarray  # (1, L-1) same for absorb ordering
+    lam: jnp.ndarray         # (1, W) wavelengths [cm]
+    sigma: jnp.ndarray       # (1, W) Rayleigh scattering opacity
+    f_toa: jnp.ndarray       # (1, W) top-of-atmosphere flux
+    tw: jnp.ndarray          # (1, W) trapezoid quadrature weights
+
+
+def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
+    """Precompute kernel constants from solver ``RTConstants``."""
+    p = consts.pressures
+    lam = consts.lam_cm
+    dtype = lam.dtype
+    # emit sweeps layers l = 1 .. L-1: p1 = p[l], p2 = p[l+1] with the
+    # top-layer extrapolation p2 = p[-1] p[-2] / p[-3]
+    # (`twostream.py:358-359`).
+    p1e = p[1:]
+    p2e = jnp.concatenate([p[2:], (p[-1] * p[-2] / p[-3])[None]])
+    # absorb sweeps layers i = 0 .. L-2: p1 = p[i], p2 = p[i+1].
+    p1a = p[:-1]
+    p2a = p[1:]
+    g = jnp.asarray(params.g, dtype)
+    return SweepConsts(
+        dtf_emit=((p1e - p2e) / g)[None, :],
+        dtf_absorb=((p1a - p2a) / g)[None, :],
+        lam=lam[None, :],
+        sigma=consts.sigma_scat[None, :],
+        f_toa=consts.F_toa[None, :],
+        tw=consts.trapz_w[None, :],
+    )
+
+
+def _planck_row(c1, lam, T_col):
+    """B_lambda for one layer of a column block: (bc, 1) temperatures
+    against (1, W) wavelengths — op-order-identical to
+    ``ops.planck.planck_lambda`` so the kernel bit-matches the XLA
+    sweep's radiances."""
+    return c1 / expm1_series(const.hc_over_k / (lam * T_col))
+
+
+def _emit_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
+                 lam_ref, sig_ref, ftoa_ref, tw_ref,
+                 fu_out, fd_out, sums_ref, *, L):
+    """One bottom-to-top emission sweep for a block of columns
+    (reference `twostream.py:290-421`, ordering per rt.sweeps).
+
+    Per-layer loop: each step is a handful of (bc, W) vector ops plus
+    one (bc, W) -> (bc,) quadrature reduction; measured faster than a
+    fully slab-vectorized formulation (whose boundary concatenates
+    copy whole (bc, L, W) slabs in VMEM)."""
+    lam = lam_ref[0, :][None, :]
+    c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
+    sig = sig_ref[0, :][None, :]
+    tw = tw_ref[0, :][None, :]
+
+    # Untouched rows (`twostream.py:356,392-393`).
+    fu_out[:, 0, :] = fu_ref[:, 0, :]
+    fu_out[:, 1, :] = fu_ref[:, 1, :]
+    fd_out[:, 0, :] = fd_ref[:, 0, :]
+
+    z = fu_ref[:, 1, :]                       # F_1_up carry
+    B1 = _planck_row(c1, lam, temps_ref[:, 1][:, None])
+    for i in range(L - 1):
+        l = i + 1                             # swept layer
+        kk = k_ref[:, l, :]
+        dtau = kk * dtf_ref[0, i]
+        om = sig / (sig + kk)
+        if i < L - 2:
+            B2 = _planck_row(c1, lam, temps_ref[:, l + 1][:, None])
+            F2d = fd_ref[:, l + 1, :]
+        else:
+            B2 = B1                           # T2 = T[-1] at the top
+            F2d = jnp.broadcast_to(ftoa_ref[0, :][None, :], z.shape)
+        cp = two_stream_couplers(dtau, om, B1, B2, g_0=0.0,
+                                 expm1=expm1_series)
+        u = z
+        z = cp.a * u + (-cp.b * F2d + cp.s_up)
+        F1d = cp.a * F2d - cp.b * u + cp.s_down
+        if i < L - 2:
+            fu_out[:, l + 1, :] = z           # top z never stored
+        fd_out[:, l, :] = F1d
+        sums_ref[:, 0, i] = jnp.sum(z * tw, axis=1)
+        sums_ref[:, 1, i] = jnp.sum(F2d * tw, axis=1)
+        sums_ref[:, 2, i] = jnp.sum(u * tw, axis=1)
+        sums_ref[:, 3, i] = jnp.sum(F1d * tw, axis=1)
+        B1 = B2
+
+
+def _absorb_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
+                   lam_ref, sig_ref, ftoa_ref, tw_ref,
+                   fu_out, fd_out, sums_ref, *, L):
+    """One top-to-bottom absorption sweep for a block of columns
+    (reference `twostream.py:424-550`, ordering per rt.sweeps)."""
+    del ftoa_ref  # enters through the carried F_down state
+    lam = lam_ref[0, :][None, :]
+    c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
+    sig = sig_ref[0, :][None, :]
+    tw = tw_ref[0, :][None, :]
+
+    fu_out[:, 0, :] = fu_ref[:, 0, :]
+    fd_out[:, L - 1, :] = fd_ref[:, L - 1, :]
+
+    d = fd_ref[:, L - 1, :]                   # F_2_down carry
+    B2 = _planck_row(c1, lam, temps_ref[:, L - 1][:, None])
+    for i in range(L - 2, -1, -1):
+        kk = k_ref[:, i, :]
+        dtau = kk * dtf_ref[0, i]
+        om = sig / (sig + kk)
+        B1 = _planck_row(c1, lam, temps_ref[:, i][:, None])
+        cp = two_stream_couplers(dtau, om, B1, B2, g_0=0.0,
+                                 expm1=expm1_series)
+        F1u = fu_ref[:, i, :]                 # stale upward flux
+        d_next = d
+        d = cp.a * d_next + (-cp.b * F1u + cp.s_down)
+        F2u = cp.a * F1u - cp.b * d_next + cp.s_up
+        fd_out[:, i, :] = d
+        fu_out[:, i + 1, :] = F2u
+        sums_ref[:, 0, i] = jnp.sum(F2u * tw, axis=1)
+        sums_ref[:, 1, i] = jnp.sum(d_next * tw, axis=1)
+        sums_ref[:, 2, i] = jnp.sum(F1u * tw, axis=1)
+        sums_ref[:, 3, i] = jnp.sum(d * tw, axis=1)
+        B2 = B1
+
+
+def _run_sweep(kernel, dtf, temps, k_all, F_up, F_down, sc: SweepConsts,
+               block_columns: int, interpret: bool):
+    B, L, W = k_all.shape
+    bc = min(block_columns, B)
+    pad = (-B) % bc
+    if pad:
+        temps = jnp.concatenate([temps, temps[-1:].repeat(pad, 0)])
+        k_all = jnp.concatenate([k_all, k_all[-1:].repeat(pad, 0)])
+        F_up = jnp.concatenate([F_up, F_up[-1:].repeat(pad, 0)])
+        F_down = jnp.concatenate([F_down, F_down[-1:].repeat(pad, 0)])
+    Bp = B + pad
+    dtype = k_all.dtype
+
+    vec = partial(pl.BlockSpec, (1, W), lambda i: (0, 0),
+                  memory_space=pltpu.VMEM)
+    slab = partial(pl.BlockSpec, (bc, L, W), lambda i: (i, 0, 0),
+                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(kernel, L=L),
+        grid=(Bp // bc,),
+        in_specs=[
+            pl.BlockSpec((1, L - 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bc, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            slab(), slab(), slab(),
+            vec(), vec(), vec(), vec(),
+        ],
+        out_specs=[
+            slab(), slab(),
+            pl.BlockSpec((bc, 4, L - 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L, W), dtype),
+            jax.ShapeDtypeStruct((Bp, L, W), dtype),
+            jax.ShapeDtypeStruct((Bp, 4, L - 1), dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(dtf, temps, k_all, F_up, F_down,
+      sc.lam, sc.sigma, sc.f_toa, sc.tw)
+    F_up_new, F_down_new, sums = out
+    if pad:
+        F_up_new = F_up_new[:B]
+        F_down_new = F_down_new[:B]
+        sums = sums[:B]
+    return F_up_new, F_down_new, sums
+
+
+def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
+                      pressures, params: PhysicsParams,
+                      block_columns: int = 8, interpret: bool = False):
+    """Fused batched emit sweep: (B, L) temps, (B, L, W) state.
+
+    Returns (F_up_new, F_down_new, temps_new, dT) — identical results
+    to ``jax.vmap(rt.sweeps.emit_sweep)`` up to float summation order
+    (cross-checked in ``tests/test_sweep_pallas.py``).
+    """
+    F_up_new, F_down_new, sums = _run_sweep(
+        _emit_kernel, sc.dtf_emit, temps, k_all, F_up, F_down, sc,
+        block_columns, interpret)
+    p = pressures
+    T1 = temps[:, 1:]
+    T2 = jnp.concatenate([temps[:, 2:], temps[:, -1:]], axis=1)
+    p1 = p[1:]
+    p2 = jnp.concatenate([p[2:], (p[-1] * p[-2] / p[-3])[None]])
+    bu2, bd2, bu1, bd1 = sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]
+    div, dz = physics.div_bol_net_flux(bu2, bd2, bu1, bd1,
+                                       T1, T2, p1, p2, params)
+    dt = physics.radiative_timestep(T1, T2, p1, p2, div, dz, params)
+    dT_swept = physics.delta_temperature(div, dt, T1, p1, p2, params)
+    dT = jnp.concatenate([jnp.zeros_like(temps[:, :1]), dT_swept], axis=1)
+    return F_up_new, F_down_new, temps - dT, dT
+
+
+def absorb_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
+                        pressures, params: PhysicsParams,
+                        block_columns: int = 8, interpret: bool = False):
+    """Fused batched absorb sweep (mirror of :func:`emit_sweep_pallas`)."""
+    F_up_new, F_down_new, sums = _run_sweep(
+        _absorb_kernel, sc.dtf_absorb, temps, k_all, F_up, F_down, sc,
+        block_columns, interpret)
+    p = pressures
+    T1 = temps[:, :-1]
+    T2 = temps[:, 1:]
+    p1 = p[:-1]
+    p2 = p[1:]
+    bu2, bd2, bu1, bd1 = sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]
+    div, dz = physics.div_bol_net_flux(bu2, bd2, bu1, bd1,
+                                       T1, T2, p1, p2, params)
+    dt = physics.radiative_timestep(T1, T2, p1, p2, div, dz, params)
+    dT_swept = physics.delta_temperature(div, dt, T1, p1, p2, params)
+    dT = jnp.concatenate([dT_swept, jnp.zeros_like(temps[:, :1])], axis=1)
+    return F_up_new, F_down_new, temps - dT, dT

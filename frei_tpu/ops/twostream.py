@@ -69,7 +69,27 @@ class TwoStreamCouplers(NamedTuple):
     s_down: jnp.ndarray   # downward thermal source term [flux]
 
 
-def two_stream_couplers(delta_tau, omega_0, B1, B2, g_0=0.0):
+def expm1_series(x):
+    """``expm1`` built from primitives Mosaic can lower (it has no
+    ``expm1``): a 9-term Horner series for |x| < 0.5 (relative error
+    ~3e-10, below float32 roundoff), ``exp(x) - 1`` otherwise (safe —
+    no catastrophic cancellation once |x| >= 0.5).  Used by the Pallas
+    sweep kernels; the XLA path keeps ``jnp.expm1``."""
+    small = jnp.abs(x) < 0.5
+    xs = jnp.where(small, x, 0.0)
+    p = xs / 9.0 + 1.0
+    p = p * xs / 8.0 + 1.0
+    p = p * xs / 7.0 + 1.0
+    p = p * xs / 6.0 + 1.0
+    p = p * xs / 5.0 + 1.0
+    p = p * xs / 4.0 + 1.0
+    p = p * xs / 3.0 + 1.0
+    p = p * xs / 2.0 + 1.0
+    return jnp.where(small, xs * p, jnp.exp(x) - 1.0)
+
+
+def two_stream_couplers(delta_tau, omega_0, B1, B2, g_0=0.0,
+                        expm1=jnp.expm1):
     """Compute the affine two-stream couplers for a set of layers.
 
     Parameters
@@ -107,7 +127,7 @@ def two_stream_couplers(delta_tau, omega_0, B1, B2, g_0=0.0):
     zp = 0.5 * (1.0 + ratio)
     zm = 0.5 * (1.0 - ratio)
 
-    em = jnp.expm1(-2.0 * k_hat * delta_tau)      # = T - 1, in (-1, 0]
+    em = expm1(-2.0 * k_hat * delta_tau)          # = T - 1, in (-1, 0]
     T = 1.0 + em                                   # transmission
 
     zmT_zp = zm * T + zp                           # zm*T + zp

@@ -98,11 +98,24 @@ def solve_ensemble(
         mesh = make_mesh()
     consts, stack = shard_solver_inputs(mesh, consts, stack)
 
-    def kappa_all(temps, pressures):
-        mmr = chem.mmr(temps, pressures)
-        k, _ = kappa_from_stack(stack, mmr, temps, pressures,
-                                consts.sigma_scat)
-        return k
+    if stack.values.shape[1] > 1:
+        # P-interpolation hoisted onto the fixed layer grid; the tab's
+        # wavelength axis inherits the stack's bins sharding.
+        from ..opacity.tables import (kappa_from_layer_tables,
+                                      make_layer_tables)
+        lt = make_layer_tables(stack, consts.pressures)
+
+        def kappa_all(temps, pressures):
+            mmr = chem.mmr(temps, pressures)
+            k, _ = kappa_from_layer_tables(lt, mmr, temps,
+                                           consts.sigma_scat)
+            return k
+    else:
+        def kappa_all(temps, pressures):
+            mmr = chem.mmr(temps, pressures)
+            k, _ = kappa_from_stack(stack, mmr, temps, pressures,
+                                    consts.sigma_scat)
+            return k
 
     cols = NamedSharding(mesh, P(COLUMNS))
     batched = jax.jit(

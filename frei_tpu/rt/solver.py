@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .physics import PhysicsParams
-from .sweeps import SweepResult, absorb_sweep, emit_sweep
+from .sweeps import SweepResult, absorb_sweep, emit_dtaus, emit_sweep
 
 __all__ = ["SolverConfig", "RTConstants", "RTResult", "solve_rc",
            "solve_rc_batched"]
@@ -61,6 +61,16 @@ class SolverConfig(NamedTuple):
     # grids).  Both orderings are bit-compatible with the reference.
     associative: bool = False
     progress: bool = False         # stream per-iteration telemetry
+    # Sweep engine for the BATCHED solver (`solve_rc_batched`):
+    # "xla" = vmapped rt.sweeps, "pallas" = the fused VMEM-resident
+    # sweep kernels (ops.sweep_pallas; TPU only — ~3x per sweep),
+    # "pallas-interpret" = the same kernels through the Pallas
+    # interpreter (CPU cross-checking), "auto" = pallas on TPU
+    # backends, xla elsewhere.  Engines agree to float32
+    # summation-order noise (the bolometric quadrature reduces in a
+    # different order); trajectories and goldens are cross-checked in
+    # tests/test_sweep_pallas.py.
+    engine: str = "auto"
 
 
 class RTConstants(NamedTuple):
@@ -96,11 +106,16 @@ class _ConvState(NamedTuple):
 def _push_history(T_new, cs: _ConvState) -> _ConvState:
     """Record one temperature-history column and update the incremental
     zero-crossing statistics (equivalent to re-running
-    `core.py:306-311` on the full history)."""
+    `core.py:306-311` on the full history).
+
+    Shape-generic: works for a single column (scalar ``n_cols``,
+    (L,) statistics) and for a batch ((B,) ``n_cols``, (B, L)
+    statistics) — the counter tests broadcast against the layer axis.
+    """
     diff = T_new - cs.prev_T
     s = jnp.sign(diff)
-    can_flip = cs.n_cols >= 2   # a previous diff exists
-    has_diff = cs.n_cols >= 1   # this push produces a valid diff
+    can_flip = jnp.expand_dims(cs.n_cols >= 2, -1)  # a previous diff exists
+    has_diff = jnp.expand_dims(cs.n_cols >= 1, -1)  # this diff is valid
     flips = cs.flips + jnp.where(can_flip & (s != cs.prev_sign), 1, 0)
     prev_sign = jnp.where(has_diff, s, cs.prev_sign)
     return _ConvState(prev_T=T_new, prev_sign=prev_sign, flips=flips,
@@ -232,11 +247,175 @@ def solve_rc(
     )
 
 
+def _resolve_engine(engine: str) -> str:
+    if engine != "auto":
+        return engine
+    # 'axon' is the hosted-TPU PJRT plugin's platform name
+    return ("pallas" if jax.default_backend() in ("tpu", "axon")
+            else "xla")
+
+
+@partial(jax.jit, static_argnames=("kappa_all", "cfg"))
 def solve_rc_batched(init_temps, consts, params, kappa_all,
                      cfg: SolverConfig = SolverConfig()):
-    """vmap of :func:`solve_rc` over a leading columns axis of
-    ``init_temps`` (and, optionally, of per-column physics params /
-    TOA fluxes — broadcast handled by vmap in the caller)."""
-    fn = partial(solve_rc, consts=consts, params=params,
-                 kappa_all=kappa_all, cfg=cfg)
-    return jax.vmap(fn)(init_temps)
+    """Batch-native radiative-convective solve over (columns, layers)
+    initial profiles.
+
+    Same algorithm and per-column trajectories as
+    ``jax.vmap(solve_rc)`` (cross-checked in tests), but the sweeps
+    run as genuinely batched kernels — with ``cfg.engine='pallas'``
+    (the TPU default) each sweep is one fused VMEM-resident Pallas
+    pass (``frei_tpu.ops.sweep_pallas``) instead of ~10 HBM round
+    trips of XLA fusion clusters.
+
+    Batched-state notes (vs the per-column ``solve_rc``):
+
+    * history rows are written at the uniform index ``2 it`` /
+      ``2 it + 1`` — valid because an unconverged column has pushed
+      exactly two rows per iteration, and converged columns' state is
+      reverted by the ``done`` select (identical semantics to the
+      vmapped per-column scatter);
+    * the ``done`` select broadcasts per-column over trailing axes.
+    """
+    B, L = init_temps.shape
+    W = consts.lam_cm.shape[0]
+    dtype = init_temps.dtype
+    n_hist = 2 * cfg.n_timesteps
+    engine = _resolve_engine(cfg.engine)
+
+    params = PhysicsParams(
+        g=jnp.asarray(params.g, dtype),
+        m_bar=jnp.asarray(params.m_bar, dtype),
+        alpha=jnp.asarray(params.alpha, dtype),
+        n_dof=params.n_dof,
+    )
+
+    if engine in ("pallas", "pallas-interpret"):
+        from ..ops.sweep_pallas import (absorb_sweep_pallas,
+                                        emit_sweep_pallas,
+                                        make_sweep_consts)
+        sc = make_sweep_consts(consts, params)
+        interp = engine == "pallas-interpret"
+        emit = partial(emit_sweep_pallas, sc=sc,
+                       pressures=consts.pressures, params=params,
+                       interpret=interp)
+        absorb = partial(absorb_sweep_pallas, sc=sc,
+                         pressures=consts.pressures, params=params,
+                         interpret=interp)
+    elif engine == "xla":
+        sweep_kw = dict(
+            sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
+            lam_cm=consts.lam_cm, trapz_w=consts.trapz_w,
+            pressures=consts.pressures, params=params,
+            associative=cfg.associative,
+        )
+
+        def emit(T, Fu, Fd, K):
+            r = jax.vmap(
+                lambda t, fu, fd, k: emit_sweep(t, fu, fd, k, **sweep_kw)
+            )(T, Fu, Fd, K)
+            return r.F_up, r.F_down, r.temps, r.dT
+
+        def absorb(T, Fu, Fd, K):
+            r = jax.vmap(
+                lambda t, fu, fd, k: absorb_sweep(t, fu, fd, k, **sweep_kw)
+            )(T, Fu, Fd, K)
+            return r.F_up, r.F_down, r.temps, r.dT
+    else:
+        raise ValueError(f"unknown sweep engine {cfg.engine!r}")
+
+    def sel_like(done):
+        def sel(new, old):
+            mask = done.reshape(done.shape + (1,) * (new.ndim - done.ndim))
+            return jnp.where(mask, old, new)
+        return sel
+
+    def body(carry):
+        (it, n_iters, temps, F_up, F_down, cs, hist, maxdT, conv,
+         done) = carry
+
+        k1 = kappa_all(temps, consts.pressures)
+        Fu1, Fd1, T1, dT1 = emit(temps, F_up, F_down, k1)
+        zero = jnp.asarray(0, it.dtype)
+        hist1 = lax.dynamic_update_slice(hist, T1[:, None, :],
+                                         (zero, 2 * it, zero))
+        cs1 = _push_history(T1, cs)
+
+        k2 = kappa_all(T1, consts.pressures)
+        Fu2, Fd2, T2, dT2 = absorb(T1, Fu1, Fd1, k2)
+        hist2 = lax.dynamic_update_slice(hist1, T2[:, None, :],
+                                         (zero, 2 * it + 1, zero))
+        cs2 = _push_history(T2, cs1)
+
+        conv_layers = ((cs2.flips > cfg.n_zero_crossings)
+                       | (jnp.abs(dT2) < cfg.convergence_dT))    # (B, L)
+        new_done = jnp.all(conv_layers, axis=-1)                 # (B,)
+        max_dT = jnp.max(jnp.abs(dT2), axis=-1)                  # (B,)
+        maxdT2 = lax.dynamic_update_slice(maxdT, max_dT[:, None],
+                                          (zero, it))
+        if cfg.progress:
+            from ..diag.telemetry import progress_printer
+            jax.debug.callback(progress_printer, it,
+                               jnp.max(jnp.abs(dT2)),
+                               jnp.sum(jnp.all(conv_layers, 0)), L)
+
+        sel = sel_like(done)
+        return (
+            it + 1,
+            # per-column iteration counts, matching vmap(solve_rc)
+            # semantics (a converged column's counter freezes)
+            sel(jnp.full((B,), it + 1, jnp.int32), n_iters),
+            sel(T2, temps),
+            sel(Fu2, F_up),
+            sel(Fd2, F_down),
+            jax.tree.map(sel, cs2, cs),
+            sel(hist2, hist),
+            sel(maxdT2, maxdT),
+            sel(conv_layers, conv),
+            done | new_done,
+        )
+
+    def cond(carry):
+        it = carry[0]
+        done = carry[-1]
+        return (it < cfg.n_timesteps) & jnp.logical_not(jnp.all(done))
+
+    cs0 = _ConvState(
+        prev_T=init_temps,
+        prev_sign=jnp.zeros((B, L), dtype=dtype),
+        flips=jnp.zeros((B, L), dtype=jnp.int32),
+        n_cols=jnp.zeros((B,), dtype=jnp.int32),
+    )
+    carry0 = (
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        init_temps,
+        jnp.zeros((B, L, W), dtype=dtype),
+        jnp.zeros((B, L, W), dtype=dtype),
+        cs0,
+        jnp.zeros((B, n_hist, L), dtype=dtype),
+        jnp.zeros((B, cfg.n_timesteps), dtype=dtype),
+        jnp.zeros((B, L), dtype=bool),
+        jnp.zeros((B,), dtype=bool),
+    )
+    (it, n_iters, temps, F_up, F_down, cs, hist, maxdT, conv_layers,
+     done) = lax.while_loop(cond, body, carry0)
+
+    # Final emit for the output spectrum (`core.py:323-333`), plus the
+    # dtaus diagnostic (one cheap elementwise pass, once per solve).
+    k = kappa_all(temps, consts.pressures)
+    Fu_f, Fd_f, T_f, _ = emit(temps, F_up, F_down, k)
+    dtaus = emit_dtaus(k, consts.pressures, params)
+
+    return RTResult(
+        flux=Fu_f[:, -1],
+        final_temps=T_f,
+        temp_history=hist,
+        n_history=cs.n_cols,
+        dtaus=dtaus,
+        F_up=Fu_f,
+        F_down=Fd_f,
+        n_iterations=n_iters,
+        converged=conv_layers,
+        max_dT_history=maxdT,
+    )

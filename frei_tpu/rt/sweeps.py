@@ -52,7 +52,20 @@ from ..ops.twostream import two_stream_couplers
 from . import physics
 from .physics import PhysicsParams
 
-__all__ = ["SweepResult", "emit_sweep", "absorb_sweep", "bolometric_flux"]
+__all__ = ["SweepResult", "emit_sweep", "absorb_sweep", "bolometric_flux",
+           "emit_dtaus"]
+
+
+def emit_dtaus(k_all, pressures, params):
+    """The dtaus diagnostic of an emit sweep (`twostream.py:352,371`):
+    a row of ones followed by the per-swept-layer optical depths.
+    Shape-generic over leading batch axes of ``k_all``."""
+    p = pressures
+    p2 = jnp.concatenate([p[2:], (p[-1] * p[-2] / p[-3])[None]])
+    dtau = physics.delta_tau(k_all[..., 1:, :], p[1:, None], p2[:, None],
+                             params.g)
+    ones = jnp.ones_like(k_all[..., :1, :])
+    return jnp.concatenate([ones, dtau], axis=-2)
 
 
 class SweepResult(NamedTuple):

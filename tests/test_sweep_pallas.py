@@ -1,0 +1,147 @@
+"""Fused Pallas sweep/kappa kernels vs the XLA reference path.
+
+Kernels run through the Pallas interpreter on CPU (the compiled TPU
+path is exercised by bench.py / the verify recipe on real hardware).
+Engines agree up to float summation order; in float64 interpret mode
+that is ~1e-10, asserted tightly here.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frei_tpu import Grid, Planet, load_example_opacity
+from frei_tpu.ops.kappa_pallas import kappa_pallas
+from frei_tpu.ops.sweep_pallas import (absorb_sweep_pallas,
+                                       emit_sweep_pallas,
+                                       make_sweep_consts)
+from frei_tpu.ops.twostream import expm1_series
+from frei_tpu.opacity.tables import (kappa_from_layer_tables,
+                                     kappa_from_stack, make_layer_tables)
+from frei_tpu.rt.physics import PhysicsParams
+from frei_tpu.rt.solver import SolverConfig, solve_rc, solve_rc_batched
+from frei_tpu.rt.sweeps import absorb_sweep, emit_sweep
+
+B, L, W = 5, 9, 40
+
+
+@pytest.fixture(scope="module")
+def setup():
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=W, n_layers=L, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    params0 = planet.physics_params()
+    params = PhysicsParams(
+        g=jnp.float64(params0.g), m_bar=jnp.float64(params0.m_bar),
+        alpha=jnp.float64(params0.alpha), n_dof=params0.n_dof)
+    rng = np.random.RandomState(0)
+    T = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                    * rng.uniform(0.9, 1.1, (B, 1)))
+    Fu = jnp.asarray(rng.rand(B, L, W) * 1e10)
+    Fd = jnp.asarray(rng.rand(B, L, W) * 1e10)
+    K = jax.vmap(lambda t: grid._kappa_fn(
+        t, grid._consts.pressures))(T)
+    return planet, grid, params, T, Fu, Fd, K
+
+
+def test_expm1_series_accuracy():
+    x = jnp.asarray(np.concatenate([
+        np.linspace(-30.0, -0.5, 41), np.linspace(-0.5, 0.5, 101),
+        np.linspace(0.5, 30.0, 41)]))
+    np.testing.assert_allclose(np.asarray(expm1_series(x)),
+                               np.expm1(np.asarray(x)),
+                               rtol=5e-9, atol=1e-300)
+
+
+@pytest.mark.parametrize("direction", ["emit", "absorb"])
+def test_sweep_kernel_matches_xla(setup, direction):
+    planet, grid, params, T, Fu, Fd, K = setup
+    consts = grid._consts
+    sc = make_sweep_consts(consts, params)
+    kw = dict(sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
+              lam_cm=consts.lam_cm, trapz_w=consts.trapz_w,
+              pressures=consts.pressures, params=params)
+    xla = emit_sweep if direction == "emit" else absorb_sweep
+    pal = emit_sweep_pallas if direction == "emit" else absorb_sweep_pallas
+    ref = jax.vmap(lambda t, fu, fd, k: xla(t, fu, fd, k, **kw))(
+        T, Fu, Fd, K)
+    # block_columns=2 with B=5 also exercises the padding path
+    out = pal(T, Fu, Fd, K, sc, consts.pressures, params,
+              block_columns=2, interpret=True)
+    for name, a, b in zip(["F_up", "F_down", "temps", "dT"],
+                          [ref.F_up, ref.F_down, ref.temps, ref.dT], out):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9,
+            atol=1e-9 * float(np.abs(np.asarray(a)).max()),
+            err_msg=f"{direction} {name}")
+
+
+def test_batched_solver_xla_engine_equals_vmap(setup):
+    planet, grid, params, T, *_ = setup
+    consts = grid._consts
+    cfg = SolverConfig(n_timesteps=6)
+    ref = jax.vmap(partial(solve_rc, consts=consts,
+                           params=planet.physics_params(),
+                           kappa_all=grid._kappa_fn, cfg=cfg))(T)
+    bat = solve_rc_batched(T, consts, planet.physics_params(),
+                           grid._kappa_fn,
+                           SolverConfig(n_timesteps=6, engine="xla"))
+    for f in ["flux", "final_temps", "temp_history", "dtaus", "F_up",
+              "F_down", "max_dT_history"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(bat, f)),
+            rtol=1e-12, err_msg=f)
+    for f in ["n_iterations", "n_history", "converged"]:
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(bat, f)))
+
+
+def test_batched_solver_pallas_engine_trajectory(setup):
+    planet, grid, params, T, *_ = setup
+    consts = grid._consts
+    xla = solve_rc_batched(T, consts, planet.physics_params(),
+                           grid._kappa_fn,
+                           SolverConfig(n_timesteps=6, engine="xla"))
+    pal = solve_rc_batched(
+        T, consts, planet.physics_params(), grid._kappa_fn,
+        SolverConfig(n_timesteps=6, engine="pallas-interpret"))
+    np.testing.assert_allclose(np.asarray(xla.flux), np.asarray(pal.flux),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(xla.final_temps),
+                               np.asarray(pal.final_temps), rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(xla.n_iterations),
+                                  np.asarray(pal.n_iterations))
+
+
+def test_layer_tables_match_bilinear(setup):
+    """P-interp hoisting reproduces the 4-corner bilinear kappa,
+    including out-of-hull zeros."""
+    planet, grid, params, T, *_ = setup
+    stack = grid.opacities
+    consts = grid._consts
+    chem = grid.chemistry
+    lt = make_layer_tables(stack, consts.pressures)
+    # push some temperatures outside the tabulated range
+    T2 = T.at[:, 0].set(50.0).at[:, -1].set(99000.0)
+    mmr = chem.mmr(T2, consts.pressures)
+    a, _ = kappa_from_stack(stack, mmr, T2, consts.pressures,
+                            consts.sigma_scat)
+    b, _ = kappa_from_layer_tables(lt, mmr, T2, consts.sigma_scat)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_kappa_pallas_kernel_interpret(setup):
+    planet, grid, params, T, *_ = setup
+    stack = grid.opacities
+    consts = grid._consts
+    mmr = grid.chemistry.mmr(T, consts.pressures)
+    a, _ = kappa_from_stack(stack, mmr, T, consts.pressures,
+                            consts.sigma_scat)
+    b, _ = kappa_pallas(stack, mmr, T, consts.pressures,
+                        consts.sigma_scat, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
