@@ -93,7 +93,16 @@ def solve_ensemble(
     field).  Columns that converge early are frozen in place while the
     rest keep iterating (identical per-column trajectories to
     single-column runs).
+
+    Engines (``cfg.engine``): on a columns-only mesh the fused Pallas
+    sweep kernels run per shard under ``shard_map`` — columns need no
+    collectives, so each device solves its own sub-batch with the
+    fast path.  Bins-sharded meshes use the XLA engine under GSPMD
+    (Pallas kernels are opaque to the GSPMD partitioner; the
+    bolometric psum across ``bins`` is inserted by XLA).
     """
+    from ..rt.solver import _resolve_engine, solve_rc_batched
+
     if mesh is None:
         mesh = make_mesh()
     consts, stack = shard_solver_inputs(mesh, consts, stack)
@@ -118,10 +127,28 @@ def solve_ensemble(
             return k
 
     cols = NamedSharding(mesh, P(COLUMNS))
+    init_temps = jax.device_put(jnp.asarray(init_temps), cols)
+
+    engine = _resolve_engine(cfg.engine)
+    if engine.startswith("pallas") and mesh.shape[BINS] == 1:
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(
+            partial(solve_rc_batched, consts=consts, params=params,
+                    kappa_all=kappa_all, cfg=cfg),
+            mesh=mesh, in_specs=P(COLUMNS),
+            out_specs=RTResult(*([P(COLUMNS)] * len(RTResult._fields))),
+            check_rep=False,
+        )
+        return jax.jit(fn)(init_temps)
+
+    if engine.startswith("pallas"):
+        # Pallas can't ride GSPMD across bins shards; fall back.
+        cfg = cfg._replace(engine="xla")
+
     batched = jax.jit(
         jax.vmap(partial(solve_rc, consts=consts, params=params,
                          kappa_all=kappa_all, cfg=cfg)),
         in_shardings=(cols,),
     )
-    init_temps = jax.device_put(jnp.asarray(init_temps), cols)
     return batched(init_temps)

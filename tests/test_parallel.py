@@ -79,3 +79,24 @@ def test_early_convergence_freezing(setup):
         np.testing.assert_allclose(res.final_temps[c], one.final_temps,
                                    rtol=1e-10)
         assert int(res.n_iterations[c]) == int(one.n_iterations)
+
+
+def test_ensemble_pallas_shard_map(setup):
+    """Columns-only meshes run the fused Pallas engine per shard under
+    shard_map; results match the per-column XLA solves."""
+    planet, grid = setup
+    T0 = _ensemble_inputs(grid, 16)
+    mesh = make_mesh(8, 1)
+    cfg = SolverConfig(n_timesteps=3, engine="pallas-interpret")
+    res = solve_ensemble(jnp.asarray(T0), grid._consts,
+                         planet.physics_params(), grid.opacities,
+                         grid.chemistry, cfg, mesh=mesh)
+    assert res.flux.shape == (16, 64)
+    from frei_tpu.rt.solver import solve_rc
+    for c in [0, 5, 15]:
+        one = solve_rc(jnp.asarray(T0[c]), grid._consts,
+                       planet.physics_params(), grid._kappa_fn,
+                       SolverConfig(n_timesteps=3))
+        np.testing.assert_allclose(res.flux[c], one.flux, rtol=1e-7)
+        np.testing.assert_allclose(res.final_temps[c], one.final_temps,
+                                   rtol=1e-8)
