@@ -245,14 +245,24 @@ class Grid:
             # pressures — hoist the P-interpolation out of the hot
             # loop entirely (see LayerKappaTables).
             from .opacity.tables import (kappa_from_layer_tables,
+                                         layer_interp_weights,
                                          make_layer_tables)
             lt = make_layer_tables(stack, self._consts.pressures)
+            press = self._consts.pressures
 
             def kappa_all(temps, pressures):
                 del pressures  # fixed to the layer grid by design
-                mmr = chem_ref.mmr(temps, self._consts.pressures)
+                mmr = chem_ref.mmr(temps, press)
                 k, _ = kappa_from_layer_tables(lt, mmr, temps, sigma_dev)
                 return k
+
+            def _ohs(temps):
+                return layer_interp_weights(
+                    lt, chem_ref.mmr(temps, press), temps)
+
+            # fused-kappa hook for the Pallas sweep kernels; NOTE the
+            # kernels add sigma themselves, so the weights exclude it
+            kappa_all.layer_parts = (_ohs, lt.tab)
         else:
             def kappa_all(temps, pressures):
                 mmr = chem_ref.mmr(temps, pressures)

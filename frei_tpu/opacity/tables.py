@@ -307,13 +307,11 @@ def make_layer_tables(stack: OpacityStack,
     return LayerKappaTables(tab=tab, temps=stack.temps, n_species=S)
 
 
-def kappa_from_layer_tables(lt: LayerKappaTables, mmr, temperature,
-                            sigma_scat):
-    """Total opacity on the layer grid: 1-D T-interp weight rows
-    (species-weighted) contracted with the per-layer tables on the
-    MXU.  ``temperature`` is (..., L); ``mmr`` is (S, ..., L).
-    Returns (k_total, sigma_scat) like :func:`kappa_from_stack`, with
-    identical out-of-hull zero-fill semantics."""
+def layer_interp_weights(lt: LayerKappaTables, mmr, temperature):
+    """Species-weighted 1-D T-interpolation weight rows: the (..., L,
+    S*nT) matrix W such that ``k_mol[..., l, :] = W[..., l, :] @
+    lt.tab[l]``.  Factored out so the fused Pallas sweep kernels can
+    run the contraction in VMEM (the kappa slab never touches HBM)."""
     nT = lt.temps.shape[0]
     dt = lt.tab.dtype
     ti, tf, t_ok = _axis_weights(lt.temps, temperature)
@@ -322,8 +320,18 @@ def kappa_from_layer_tables(lt: LayerKappaTables, mmr, temperature,
     oh = (jax.nn.one_hot(ti, nT, dtype=dt) * w_lo[..., None]
           + jax.nn.one_hot(ti + 1, nT, dtype=dt) * w_hi[..., None])
     m = jnp.moveaxis(mmr, 0, -1).astype(dt)           # (..., L, S)
-    ohs = (m[..., :, None] * oh[..., None, :]).reshape(
-        temperature.shape + (lt.n_species * nT,))
+    return (m[..., :, None] * oh[..., None, :]).reshape(
+        jnp.shape(temperature) + (lt.n_species * nT,))
+
+
+def kappa_from_layer_tables(lt: LayerKappaTables, mmr, temperature,
+                            sigma_scat):
+    """Total opacity on the layer grid: 1-D T-interp weight rows
+    (species-weighted) contracted with the per-layer tables on the
+    MXU.  ``temperature`` is (..., L); ``mmr`` is (S, ..., L).
+    Returns (k_total, sigma_scat) like :func:`kappa_from_stack`, with
+    identical out-of-hull zero-fill semantics."""
+    ohs = layer_interp_weights(lt, mmr, temperature)
     k_mol = jnp.einsum('...lk,lkw->...lw', ohs, lt.tab,
                        precision=jax.lax.Precision.HIGHEST)
     return k_mol + sigma_scat, sigma_scat

@@ -97,9 +97,36 @@ def _planck_row(c1, lam, T_col):
     return c1 / expm1_series(const.hc_over_k / (lam * T_col))
 
 
-def _emit_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
-                 lam_ref, sig_ref, ftoa_ref, tw_ref,
-                 fu_out, fd_out, sums_ref, *, L):
+def _unpack(refs, fused):
+    """Kernel ref unpacking for the two kappa modes: ``fused`` swaps
+    the (bc, L, W) opacity slab input for the (bc, L, K) T-interp
+    weight rows + the VMEM-resident (L, K, W) layer tables — the
+    kappa slab then never exists in HBM at all."""
+    if fused:
+        (dtf_ref, temps_ref, ohs_ref, tab_ref, fu_ref, fd_ref,
+         lam_ref, sig_ref, ftoa_ref, tw_ref,
+         fu_out, fd_out, sums_ref) = refs
+    else:
+        (dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
+         lam_ref, sig_ref, ftoa_ref, tw_ref,
+         fu_out, fd_out, sums_ref) = refs
+    sig = sig_ref[0, :][None, :]
+
+    if fused:
+        def k_row(l):
+            # per-layer T-interp contraction on the MXU; k_total
+            # includes the scattering term (`opacity.py:265-268`)
+            return jnp.dot(ohs_ref[:, l, :], tab_ref[l],
+                           preferred_element_type=tab_ref.dtype,
+                           precision=jax.lax.Precision.HIGHEST) + sig
+    else:
+        def k_row(l):
+            return k_ref[:, l, :]
+    return (dtf_ref, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+            ftoa_ref, tw_ref, fu_out, fd_out, sums_ref)
+
+
+def _emit_kernel(*refs, L, fused):
     """One bottom-to-top emission sweep for a block of columns
     (reference `twostream.py:290-421`, ordering per rt.sweeps).
 
@@ -107,9 +134,10 @@ def _emit_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
     one (bc, W) -> (bc,) quadrature reduction; measured faster than a
     fully slab-vectorized formulation (whose boundary concatenates
     copy whole (bc, L, W) slabs in VMEM)."""
+    (dtf_ref, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+     ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
-    sig = sig_ref[0, :][None, :]
     tw = tw_ref[0, :][None, :]
 
     # Untouched rows (`twostream.py:356,392-393`).
@@ -121,7 +149,7 @@ def _emit_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
     B1 = _planck_row(c1, lam, temps_ref[:, 1][:, None])
     for i in range(L - 1):
         l = i + 1                             # swept layer
-        kk = k_ref[:, l, :]
+        kk = k_row(l)
         dtau = kk * dtf_ref[0, i]
         om = sig / (sig + kk)
         if i < L - 2:
@@ -145,15 +173,13 @@ def _emit_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
         B1 = B2
 
 
-def _absorb_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
-                   lam_ref, sig_ref, ftoa_ref, tw_ref,
-                   fu_out, fd_out, sums_ref, *, L):
+def _absorb_kernel(*refs, L, fused):
     """One top-to-bottom absorption sweep for a block of columns
     (reference `twostream.py:424-550`, ordering per rt.sweeps)."""
-    del ftoa_ref  # enters through the carried F_down state
+    (dtf_ref, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+     _ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
-    sig = sig_ref[0, :][None, :]
     tw = tw_ref[0, :][None, :]
 
     fu_out[:, 0, :] = fu_ref[:, 0, :]
@@ -162,7 +188,7 @@ def _absorb_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
     d = fd_ref[:, L - 1, :]                   # F_2_down carry
     B2 = _planck_row(c1, lam, temps_ref[:, L - 1][:, None])
     for i in range(L - 2, -1, -1):
-        kk = k_ref[:, i, :]
+        kk = k_row(i)
         dtau = kk * dtf_ref[0, i]
         om = sig / (sig + kk)
         B1 = _planck_row(c1, lam, temps_ref[:, i][:, None])
@@ -181,32 +207,56 @@ def _absorb_kernel(dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
         B2 = B1
 
 
-def _run_sweep(kernel, dtf, temps, k_all, F_up, F_down, sc: SweepConsts,
+def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
                block_columns: int, interpret: bool):
-    B, L, W = k_all.shape
+    """``kappa`` is either the (B, L, W) total-opacity slab, or an
+    ``(ohs, tab)`` pair — (B, L, K) T-interp weight rows + (L, K, W)
+    layer tables (see ``opacity.tables.layer_interp_weights``) — in
+    which case the opacity is contracted inside the kernel and never
+    materialized in HBM."""
+    fused = isinstance(kappa, tuple)
+    B, L, W = F_up.shape
     bc = min(block_columns, B)
     pad = (-B) % bc
+    if fused:
+        ohs, tab = kappa
+        K = ohs.shape[-1]
     if pad:
         temps = jnp.concatenate([temps, temps[-1:].repeat(pad, 0)])
-        k_all = jnp.concatenate([k_all, k_all[-1:].repeat(pad, 0)])
         F_up = jnp.concatenate([F_up, F_up[-1:].repeat(pad, 0)])
         F_down = jnp.concatenate([F_down, F_down[-1:].repeat(pad, 0)])
+        if fused:
+            ohs = jnp.concatenate([ohs, ohs[-1:].repeat(pad, 0)])
+        else:
+            kappa = jnp.concatenate([kappa, kappa[-1:].repeat(pad, 0)])
     Bp = B + pad
-    dtype = k_all.dtype
+    dtype = F_up.dtype
 
     vec = partial(pl.BlockSpec, (1, W), lambda i: (0, 0),
                   memory_space=pltpu.VMEM)
     slab = partial(pl.BlockSpec, (bc, L, W), lambda i: (i, 0, 0),
                    memory_space=pltpu.VMEM)
+    if fused:
+        kappa_specs = [
+            pl.BlockSpec((bc, L, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, K, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        kappa_args = (ohs, tab)
+    else:
+        kappa_specs = [slab()]
+        kappa_args = (kappa,)
     out = pl.pallas_call(
-        partial(kernel, L=L),
+        partial(kernel, L=L, fused=fused),
         grid=(Bp // bc,),
         in_specs=[
             pl.BlockSpec((1, L - 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((bc, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            slab(), slab(), slab(),
+            *kappa_specs,
+            slab(), slab(),
             vec(), vec(), vec(), vec(),
         ],
         out_specs=[
@@ -222,7 +272,7 @@ def _run_sweep(kernel, dtf, temps, k_all, F_up, F_down, sc: SweepConsts,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(dtf, temps, k_all, F_up, F_down,
+    )(dtf, temps, *kappa_args, F_up, F_down,
       sc.lam, sc.sigma, sc.f_toa, sc.tw)
     F_up_new, F_down_new, sums = out
     if pad:

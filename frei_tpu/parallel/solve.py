@@ -111,6 +111,7 @@ def solve_ensemble(
         # P-interpolation hoisted onto the fixed layer grid; the tab's
         # wavelength axis inherits the stack's bins sharding.
         from ..opacity.tables import (kappa_from_layer_tables,
+                                      layer_interp_weights,
                                       make_layer_tables)
         lt = make_layer_tables(stack, consts.pressures)
 
@@ -119,6 +120,12 @@ def solve_ensemble(
             k, _ = kappa_from_layer_tables(lt, mmr, temps,
                                            consts.sigma_scat)
             return k
+
+        def _ohs(temps):
+            return layer_interp_weights(
+                lt, chem.mmr(temps, consts.pressures), temps)
+
+        kappa_all.layer_parts = (_ohs, lt.tab)
     else:
         def kappa_all(temps, pressures):
             mmr = chem.mmr(temps, pressures)

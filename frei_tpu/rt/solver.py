@@ -290,6 +290,7 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         n_dof=params.n_dof,
     )
 
+    fused_parts = None
     if engine in ("pallas", "pallas-interpret"):
         from ..ops.sweep_pallas import (absorb_sweep_pallas,
                                         emit_sweep_pallas,
@@ -302,6 +303,11 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         absorb = partial(absorb_sweep_pallas, sc=sc,
                          pressures=consts.pressures, params=params,
                          interpret=interp)
+        # When the kappa model factors over the fixed layer grid
+        # (attribute attached by the Grid / ensemble builders), hand
+        # the kernels the T-interp weight rows + layer tables instead
+        # of a materialized opacity slab — kappa never touches HBM.
+        fused_parts = getattr(kappa_all, "layer_parts", None)
     elif engine == "xla":
         sweep_kw = dict(
             sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
@@ -330,18 +336,27 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
             return jnp.where(mask, old, new)
         return sel
 
+    if fused_parts is not None:
+        ohs_fn, layer_tab = fused_parts
+
+        def kap_fn(temps):
+            return (ohs_fn(temps), layer_tab)
+    else:
+        def kap_fn(temps):
+            return kappa_all(temps, consts.pressures)
+
     def body(carry):
         (it, n_iters, temps, F_up, F_down, cs, hist, maxdT, conv,
          done) = carry
 
-        k1 = kappa_all(temps, consts.pressures)
+        k1 = kap_fn(temps)
         Fu1, Fd1, T1, dT1 = emit(temps, F_up, F_down, k1)
         zero = jnp.asarray(0, it.dtype)
         hist1 = lax.dynamic_update_slice(hist, T1[:, None, :],
                                          (zero, 2 * it, zero))
         cs1 = _push_history(T1, cs)
 
-        k2 = kappa_all(T1, consts.pressures)
+        k2 = kap_fn(T1)
         Fu2, Fd2, T2, dT2 = absorb(T1, Fu1, Fd1, k2)
         hist2 = lax.dynamic_update_slice(hist1, T2[:, None, :],
                                          (zero, 2 * it + 1, zero))
@@ -402,10 +417,11 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
      done) = lax.while_loop(cond, body, carry0)
 
     # Final emit for the output spectrum (`core.py:323-333`), plus the
-    # dtaus diagnostic (one cheap elementwise pass, once per solve).
-    k = kappa_all(temps, consts.pressures)
-    Fu_f, Fd_f, T_f, _ = emit(temps, F_up, F_down, k)
-    dtaus = emit_dtaus(k, consts.pressures, params)
+    # dtaus diagnostic (one cheap pass, once per solve; needs the
+    # materialized opacity even in fused-kappa mode).
+    Fu_f, Fd_f, T_f, _ = emit(temps, F_up, F_down, kap_fn(temps))
+    dtaus = emit_dtaus(kappa_all(temps, consts.pressures),
+                       consts.pressures, params)
 
     return RTResult(
         flux=Fu_f[:, -1],
