@@ -30,7 +30,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
 
-N_COLUMNS = 2048
+N_COLUMNS = 8192
 N_BINS = 500
 N_LAYERS = 30
 N_ITERS = 20

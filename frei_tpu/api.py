@@ -320,6 +320,71 @@ class Grid:
         return (spec, np.asarray(result.final_temps), temp_hist,
                 np.asarray(result.dtaus))
 
+    def emission_spectra(self, init_temps, n_timesteps=1,
+                         n_zero_crossings=2, convergence_dT=3.0,
+                         associative=False, engine="auto"):
+        """Batched emission spectra for an ensemble of columns on this
+        grid (retrieval grids / phase curves — the scaling story the
+        reference's vestigial dask path never delivered,
+        `core.py:22-31`).
+
+        Parameters
+        ----------
+        init_temps : (C, L) array-like
+            Initial temperature profile per column [K].
+        engine : "auto" | "pallas" | "xla" | "pallas-interpret"
+            Sweep engine (see ``SolverConfig.engine``); "auto" uses the
+            fused Pallas kernels on TPU.
+
+        Returns
+        -------
+        spec : Spectrum with ``flux`` of shape (C, W)
+        final_temps : (C, L)
+        temperature_history : (C, L, n_recorded)
+        dtaus : (C, L, W)
+
+        Per-column results are identical to running
+        :meth:`emission_spectrum` column by column (cross-checked in
+        tests); columns that converge early freeze while the rest
+        iterate.  For multi-device ensembles use
+        ``frei_tpu.parallel.solve_ensemble`` with a mesh.
+        """
+        from .rt.solver import solve_rc_batched
+
+        if self.opacities is None:
+            raise ValueError(
+                "Must load opacities before computing emission spectra."
+            )
+        cfg = SolverConfig(
+            n_timesteps=int(n_timesteps),
+            n_zero_crossings=int(n_zero_crossings),
+            convergence_dT=units.to_kelvin(convergence_dT),
+            associative=associative,
+            engine=engine,
+        )
+        import time
+
+        from .diag.telemetry import SolveMetrics
+        init_temps = jnp.asarray(units.to_kelvin(init_temps), self.dtype)
+        t0 = time.perf_counter()
+        result: RTResult = solve_rc_batched(
+            init_temps, self._consts, self.planet.physics_params(),
+            self._kappa_fn, cfg)
+        jax.block_until_ready(result.flux)
+        self.last_result = result
+        self.last_metrics = SolveMetrics.from_result(
+            result, time.perf_counter() - t0,
+            columns=init_temps.shape[0])
+        n_hist = int(np.max(np.asarray(result.n_history)))
+        spec = Spectrum(
+            wavelength_um=np.asarray(self.lam),
+            flux=np.asarray(result.flux),
+        )
+        temp_hist = np.swapaxes(
+            np.asarray(result.temp_history)[:, :n_hist, :], 1, 2)
+        return (spec, np.asarray(result.final_temps), temp_hist,
+                np.asarray(result.dtaus))
+
     def emission_dashboard(self, spec, final_temps, temperature_history,
                            dtaus, T_eff=None, plot_phoenix=True,
                            cache=False):

@@ -55,12 +55,15 @@ class SolveMetrics:
     def from_result(cls, result, wall_seconds: float,
                     columns: int = 1) -> "SolveMetrics":
         conv = np.asarray(result.converged)
+        hist = np.asarray(result.max_dT_history)
+        if hist.ndim == 2:   # batched result: worst column per iter
+            hist = hist.max(axis=0)
         return cls(
             n_iterations=int(np.max(np.asarray(result.n_iterations))),
             converged_layers=int(conv.sum()) if conv.ndim == 1
             else int(conv.all(axis=-1).sum()),
             n_layers=conv.shape[-1] if conv.ndim == 1 else conv.shape[0],
-            max_dT_history=np.asarray(result.max_dT_history),
+            max_dT_history=hist,
             wall_seconds=wall_seconds,
             columns=columns,
             bins=int(np.asarray(result.flux).shape[-1]),

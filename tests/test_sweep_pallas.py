@@ -145,3 +145,53 @@ def test_kappa_pallas_kernel_interpret(setup):
     b, _ = kappa_pallas(stack, mmr, T, consts.pressures,
                         consts.sigma_scat, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_grid_emission_spectra_matches_per_column(setup):
+    """The Grid-level batched API reproduces per-column solve_rc."""
+    planet, grid, params, T, *_ = setup
+    spec, temps, hist, dtaus = grid.emission_spectra(
+        T, n_timesteps=4, engine="xla")
+    assert spec.flux.shape == (B, W)
+    assert temps.shape == (B, L)
+    assert dtaus.shape == (B, L, W)
+    cfg = SolverConfig(n_timesteps=4)
+    for c in [0, B - 1]:
+        one = solve_rc(T[c], grid._consts, planet.physics_params(),
+                       grid._kappa_fn, cfg)
+        # batched vs single-column compilations reduce the bolometric
+        # quadrature in different orders -> ~1e-10 relative
+        np.testing.assert_allclose(spec.flux[c], np.asarray(one.flux),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(temps[c], np.asarray(one.final_temps),
+                                   rtol=1e-9)
+    assert grid.last_metrics.columns == B
+
+
+def test_equilibrium_chemistry_with_pallas_engine():
+    """FastChem-equivalent chemistry composes with the fused engine:
+    xla and pallas-interpret trajectories agree, and kappa varies
+    across layers (live chemistry, not the constant mock)."""
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=32, n_layers=8, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(
+        opacities=load_example_opacity(grid, scale_factor=1.0,
+                                       dtype=jnp.float64),
+        chemistry="equilibrium")
+    rng = np.random.RandomState(1)
+    T0 = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                     * rng.uniform(0.95, 1.05, (3, 1)))
+    rx = solve_rc_batched(T0, grid._consts, planet.physics_params(),
+                          grid._kappa_fn,
+                          SolverConfig(n_timesteps=3, engine="xla"))
+    rp = solve_rc_batched(
+        T0, grid._consts, planet.physics_params(), grid._kappa_fn,
+        SolverConfig(n_timesteps=3, engine="pallas-interpret"))
+    np.testing.assert_allclose(np.asarray(rx.flux), np.asarray(rp.flux),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(rx.final_temps),
+                               np.asarray(rp.final_temps), rtol=1e-8)
+    k = grid._kappa_fn(T0, grid._consts.pressures)
+    col = np.asarray(k)[0, :, 16]
+    assert np.ptp(col / col.mean()) > 1e-3  # T-dependent abundances
