@@ -263,6 +263,8 @@ class Grid:
             # fused-kappa hook for the Pallas sweep kernels; NOTE the
             # kernels add sigma themselves, so the weights exclude it
             kappa_all.layer_parts = (_ohs, lt.tab)
+            # whole-iteration kernel hook (ops.iteration_pallas)
+            kappa_all.iteration_hook = (lt.temps, lt.tab, chem_ref)
         else:
             def kappa_all(temps, pressures):
                 mmr = chem_ref.mmr(temps, pressures)

@@ -409,3 +409,29 @@ class FastChemJAX:
         v = self.vmr(temperatures, pressures_cgs)
         scale = jnp.asarray(self._masses_g / self.m_bar_g, v.dtype)
         return v * scale.reshape(scale.shape + (1,) * (v.ndim - 1))
+
+    def layer_ln_mmr_tables(self, pressures_cgs):
+        """Layer-factored form for the fused iteration kernel (table
+        mode only): pre-interpolate the (logT, logP) ln-VMR table onto
+        the fixed layer pressures, fold in the mass/m_bar scale, and
+        return (log10 T grid, (L, nTc, S) ln-MMR table).  The kernel's
+        clipped 1-D logT interpolation then reproduces
+        :meth:`_vmr_from_table` exactly (bilinear interpolation
+        factors axis-by-axis)."""
+        if self.mode != "table":
+            raise AttributeError(
+                "layer-factored chemistry requires table mode")
+        logP = jnp.log10(jnp.asarray(pressures_cgs, jnp.float32)
+                         / const.BAR_TO_CGS)
+        coord = self._tab_logP
+        n = coord.shape[0]
+        x = jnp.clip(logP, coord[0], coord[-1])
+        pj = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1,
+                      0, n - 2)
+        pf = ((x - coord[pj]) / (coord[pj + 1] - coord[pj]))
+        v = self._tab_lnvmr                        # (nTc, nPc, S)
+        tab = ((1 - pf)[None, :, None] * v[:, pj, :]
+               + pf[None, :, None] * v[:, pj + 1, :])   # (nTc, L, S)
+        tab = tab + jnp.log(
+            jnp.asarray(self._masses_g / self.m_bar_g, tab.dtype))
+        return self._tab_logT, jnp.moveaxis(tab, 0, 1)  # (L, nTc, S)

@@ -44,3 +44,15 @@ class MockChemistry:
         v = self.vmr(temperatures, pressures_cgs)
         scale = (self.species_masses_g / self.m_bar_g).astype(v.dtype)
         return v * scale.reshape(scale.shape + (1,) * (v.ndim - 1))
+
+    def layer_ln_mmr_tables(self, pressures_cgs):
+        """Layer-factored form for the fused iteration kernel: a
+        (log10 T grid, (L, nTc, S) ln-MMR table) pair such that
+        ``mmr = exp(interp_logT(table[l]))`` with clipped
+        interpolation.  Constant chemistry = a trivial 2-point grid."""
+        import numpy as np
+        L = np.shape(pressures_cgs)[0]
+        S = self.species_masses_g.shape[0]
+        ln_mmr = jnp.log(MOCK_VMR * self.species_masses_g / self.m_bar_g)
+        tab = jnp.broadcast_to(ln_mmr[None, None, :], (L, 2, S))
+        return jnp.asarray([0.0, 10.0]), tab

@@ -126,6 +126,7 @@ def solve_ensemble(
                 lt, chem.mmr(temps, consts.pressures), temps)
 
         kappa_all.layer_parts = (_ohs, lt.tab)
+        kappa_all.iteration_hook = (lt.temps, lt.tab, chem)
     else:
         def kappa_all(temps, pressures):
             mmr = chem.mmr(temps, pressures)

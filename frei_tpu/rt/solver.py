@@ -62,13 +62,17 @@ class SolverConfig(NamedTuple):
     associative: bool = False
     progress: bool = False         # stream per-iteration telemetry
     # Sweep engine for the BATCHED solver (`solve_rc_batched`):
-    # "xla" = vmapped rt.sweeps, "pallas" = the fused VMEM-resident
-    # sweep kernels (ops.sweep_pallas; TPU only — ~3x per sweep),
-    # "pallas-interpret" = the same kernels through the Pallas
-    # interpreter (CPU cross-checking), "auto" = pallas on TPU
-    # backends, xla elsewhere.  Engines agree to float32
-    # summation-order noise (the bolometric quadrature reduces in a
-    # different order); trajectories and goldens are cross-checked in
+    # "xla" = vmapped rt.sweeps; "pallas" = the fused VMEM-resident
+    # sweep kernels (ops.sweep_pallas; TPU only — ~2x over xla);
+    # "pallas-iteration" = the whole-iteration kernel
+    # (ops.iteration_pallas; chemistry + kappa in-kernel — measured
+    # SLOWER than "pallas" on v5e because of per-layer small-matrix
+    # MXU dispatches, kept as an opt-in alternative); append
+    # "-interpret" to either to run through the Pallas interpreter
+    # (CPU cross-checking).  "auto" = pallas on TPU backends, xla
+    # elsewhere.  Engines agree to float32 summation-order noise (the
+    # bolometric quadrature reduces in a different order);
+    # trajectories and goldens are cross-checked in
     # tests/test_sweep_pallas.py.
     engine: str = "auto"
 
@@ -291,12 +295,13 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     )
 
     fused_parts = None
-    if engine in ("pallas", "pallas-interpret"):
+    if engine.startswith("pallas"):
+        interp = engine.endswith("-interpret")
+        use_iteration = engine.startswith("pallas-iteration")
         from ..ops.sweep_pallas import (absorb_sweep_pallas,
                                         emit_sweep_pallas,
                                         make_sweep_consts)
         sc = make_sweep_consts(consts, params)
-        interp = engine == "pallas-interpret"
         emit = partial(emit_sweep_pallas, sc=sc,
                        pressures=consts.pressures, params=params,
                        interpret=interp)
@@ -308,6 +313,22 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         # the kernels the T-interp weight rows + layer tables instead
         # of a materialized opacity slab — kappa never touches HBM.
         fused_parts = getattr(kappa_all, "layer_parts", None)
+        # Opt-in strongest form: the whole iteration (emit +
+        # temperature update + absorb + update, chemistry and kappa
+        # included) as ONE kernel — needs the raw layer tables plus
+        # layer-factored chemistry (ops.iteration_pallas).
+        iteration = None
+        hook = getattr(kappa_all, "iteration_hook", None)
+        if use_iteration:
+            if hook is None:
+                raise ValueError(
+                    "engine 'pallas-iteration' needs a layer-factored "
+                    "kappa model (kappa_all.iteration_hook)")
+            from ..ops.iteration_pallas import (make_iteration_pack,
+                                                rc_iteration_pallas)
+            pack = make_iteration_pack(consts, params, *hook)
+            iteration = partial(rc_iteration_pallas, pack=pack,
+                                params=params, interpret=interp)
     elif engine == "xla":
         sweep_kw = dict(
             sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
@@ -327,6 +348,8 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
                 lambda t, fu, fd, k: absorb_sweep(t, fu, fd, k, **sweep_kw)
             )(T, Fu, Fd, K)
             return r.F_up, r.F_down, r.temps, r.dT
+
+        iteration = None
     else:
         raise ValueError(f"unknown sweep engine {cfg.engine!r}")
 
@@ -349,15 +372,19 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         (it, n_iters, temps, F_up, F_down, cs, hist, maxdT, conv,
          done) = carry
 
-        k1 = kap_fn(temps)
-        Fu1, Fd1, T1, dT1 = emit(temps, F_up, F_down, k1)
+        if iteration is not None:
+            # one fused kernel per iteration; flux-state freezing of
+            # converged columns happens in-kernel
+            T1, Fu2, Fd2, T2, dT2 = iteration(temps, F_up, F_down, done)
+        else:
+            k1 = kap_fn(temps)
+            Fu1, Fd1, T1, dT1 = emit(temps, F_up, F_down, k1)
+            k2 = kap_fn(T1)
+            Fu2, Fd2, T2, dT2 = absorb(T1, Fu1, Fd1, k2)
         zero = jnp.asarray(0, it.dtype)
         hist1 = lax.dynamic_update_slice(hist, T1[:, None, :],
                                          (zero, 2 * it, zero))
         cs1 = _push_history(T1, cs)
-
-        k2 = kap_fn(T1)
-        Fu2, Fd2, T2, dT2 = absorb(T1, Fu1, Fd1, k2)
         hist2 = lax.dynamic_update_slice(hist1, T2[:, None, :],
                                          (zero, 2 * it + 1, zero))
         cs2 = _push_history(T2, cs1)
@@ -381,8 +408,8 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
             # semantics (a converged column's counter freezes)
             sel(jnp.full((B,), it + 1, jnp.int32), n_iters),
             sel(T2, temps),
-            sel(Fu2, F_up),
-            sel(Fd2, F_down),
+            Fu2 if iteration is not None else sel(Fu2, F_up),
+            Fd2 if iteration is not None else sel(Fd2, F_down),
             jax.tree.map(sel, cs2, cs),
             sel(hist2, hist),
             sel(maxdT2, maxdT),

@@ -101,7 +101,9 @@ def test_batched_solver_xla_engine_equals_vmap(setup):
                                       np.asarray(getattr(bat, f)))
 
 
-def test_batched_solver_pallas_engine_trajectory(setup):
+@pytest.mark.parametrize(
+    "engine", ["pallas-interpret", "pallas-iteration-interpret"])
+def test_batched_solver_pallas_engine_trajectory(setup, engine):
     planet, grid, params, T, *_ = setup
     consts = grid._consts
     xla = solve_rc_batched(T, consts, planet.physics_params(),
@@ -109,7 +111,7 @@ def test_batched_solver_pallas_engine_trajectory(setup):
                            SolverConfig(n_timesteps=6, engine="xla"))
     pal = solve_rc_batched(
         T, consts, planet.physics_params(), grid._kappa_fn,
-        SolverConfig(n_timesteps=6, engine="pallas-interpret"))
+        SolverConfig(n_timesteps=6, engine=engine))
     np.testing.assert_allclose(np.asarray(xla.flux), np.asarray(pal.flux),
                                rtol=1e-7)
     np.testing.assert_allclose(np.asarray(xla.final_temps),
