@@ -30,7 +30,7 @@ from ..rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
 from .mesh import BINS, COLUMNS, make_mesh
 
 __all__ = ["initialize_distributed", "shard_solver_inputs",
-           "solve_ensemble"]
+           "solve_ensemble", "solve_population"]
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -160,3 +160,61 @@ def solve_ensemble(
         in_shardings=(cols,),
     )
     return batched(init_temps)
+
+
+def solve_population(init_temps, grid, planets,
+                     cfg: SolverConfig = SolverConfig(),
+                     mesh: Optional[Mesh] = None) -> RTResult:
+    """Retrieval/phase-curve population solve: one atmosphere per
+    PLANET, each with its own irradiation (T_star, a/R*), gravity and
+    mixing-length alpha (the axes a retrieval or phase-curve grid
+    varies), sharing the grid, opacities, chemistry and mean
+    molecular weight (composition is shared, so sharing m_bar — which
+    sets the Rayleigh scattering and MMR scale — is the physically
+    consistent choice).
+
+    Parameters
+    ----------
+    init_temps : (C, L) initial profiles [K], one per planet.
+    grid : frei_tpu.api.Grid with opacities loaded.
+    planets : sequence of C ``Planet`` objects.
+
+    Returns a batched :class:`RTResult`.  Per-column results equal
+    independent single-planet solves (cross-checked in
+    tests/test_parallel.py).
+    """
+    import numpy as np
+
+    from ..stellar.irradiation import f_toa_np
+
+    consts = grid._consts
+    kappa_all = grid._kappa_fn
+    lam_cm = np.asarray(grid.rt_grid.lam_cm)
+    dtype = consts.lam_cm.dtype
+    f_toa = jnp.asarray(
+        np.stack([f_toa_np(lam_cm, p.T_star, p.a_rstar)
+                  for p in planets]), dtype)              # (C, W)
+    g = jnp.asarray([p.g for p in planets], dtype)
+    alpha = jnp.asarray([p.alpha for p in planets], dtype)
+    m_bar = planets[0].m_bar
+    if any(abs(p.m_bar - m_bar) > 1e-30 for p in planets):
+        raise ValueError(
+            "solve_population shares composition: all planets must "
+            "have the same m_bar (it sets chemistry + Rayleigh); "
+            "build separate grids for different compositions")
+
+    n_dof = 5
+    init_temps = jnp.asarray(init_temps, dtype)
+
+    def one(T0, ftoa_c, g_c, alpha_c):
+        params = PhysicsParams(g=g_c, m_bar=jnp.asarray(m_bar, dtype),
+                               alpha=alpha_c, n_dof=n_dof)
+        return solve_rc(T0, consts._replace(F_toa=ftoa_c), params,
+                        kappa_all, cfg)
+
+    fn = jax.jit(jax.vmap(one))
+    if mesh is not None:
+        cols = NamedSharding(mesh, P(COLUMNS))
+        init_temps = jax.device_put(init_temps, cols)
+        f_toa = jax.device_put(f_toa, cols)
+    return fn(init_temps, f_toa, g, alpha)

@@ -97,3 +97,29 @@ def test_checkpoint_roundtrip(solved_grid, tmp_path):
     g2 = Grid(planet, n_wl_bins=48, n_layers=8,
               init_temperatures=state["final_temps"], dtype=jnp.float64)
     assert np.allclose(g2.init_temperatures, state["final_temps"])
+
+
+def test_irradiated_equilibrium_dashboard_end_to_end():
+    """BASELINE config 4: irradiated atmosphere with equilibrium
+    chemistry in the loop, multi-step RC iteration, and the full
+    5-panel dashboard with a stellar comparison spectrum."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from frei_tpu.stellar.phoenix import get_binned_blackbody_spectrum
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=48, n_layers=8, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(
+        opacities=load_example_opacity(grid, scale_factor=1.0,
+                                       dtype=jnp.float64),
+        chemistry="equilibrium")
+    spec, temps, hist, dtaus = grid.emission_spectrum(n_timesteps=8)
+    assert np.all(np.isfinite(spec.flux))
+    comparison = get_binned_blackbody_spectrum(
+        2400.0, grid.wl_bins, grid.lam)
+    from frei_tpu.diag.plot import dashboard
+    fig, axes = dashboard(grid, spec, comparison, dtaus, temps, hist)
+    assert len(axes) == 5
+    import matplotlib.pyplot as plt
+    plt.close(fig)

@@ -100,3 +100,49 @@ def test_ensemble_pallas_shard_map(setup):
         np.testing.assert_allclose(res.flux[c], one.flux, rtol=1e-7)
         np.testing.assert_allclose(res.final_temps[c], one.final_temps,
                                    rtol=1e-8)
+
+
+def test_population_matches_individual_planets(setup):
+    """Per-planet irradiation/gravity/alpha population solve equals
+    independent single-planet solves (the retrieval/phase-curve
+    grid workflow)."""
+    from frei_tpu import Planet
+    from frei_tpu.parallel import solve_population
+
+    planet, grid = setup
+    planets = [
+        Planet(a_rstar=5.0, m_bar=2.4, g=24.79, T_star=5800.0, alpha=1.0),
+        Planet(a_rstar=9.0, m_bar=2.4, g=10.0, T_star=4500.0, alpha=1.5),
+        Planet(a_rstar=6.4, m_bar=2.4, g=50.0, T_star=6300.0, alpha=1.0),
+    ]
+    T0 = _ensemble_inputs(grid, 3)
+    cfg = SolverConfig(n_timesteps=4)
+    res = solve_population(jnp.asarray(T0), grid, planets, cfg)
+    assert res.flux.shape == (3, 64)
+
+    from frei_tpu import Grid, load_example_opacity
+    for c, p in enumerate(planets):
+        g1 = Grid(p, n_wl_bins=64, n_layers=10, T_ref=2400.0,
+                  dtype=jnp.float64)
+        g1.load_opacities(opacities=load_example_opacity(
+            g1, scale_factor=1.0, dtype=jnp.float64))
+        from frei_tpu.rt.solver import solve_rc
+        one = solve_rc(jnp.asarray(T0[c]), g1._consts,
+                       p.physics_params(), g1._kappa_fn, cfg)
+        np.testing.assert_allclose(res.flux[c], np.asarray(one.flux),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(res.final_temps[c],
+                                   np.asarray(one.final_temps),
+                                   rtol=1e-9)
+
+
+def test_population_rejects_mixed_composition(setup):
+    from frei_tpu import Planet
+    from frei_tpu.parallel import solve_population
+
+    planet, grid = setup
+    planets = [Planet(5.0, 2.4, 24.79, 5800.0),
+               Planet(5.0, 2.8, 24.79, 5800.0)]
+    T0 = _ensemble_inputs(grid, 2)
+    with pytest.raises(ValueError, match="m_bar"):
+        solve_population(jnp.asarray(T0), grid, planets)
