@@ -101,16 +101,20 @@ def _unpack(refs, fused):
     """Kernel ref unpacking for the two kappa modes: ``fused`` swaps
     the (bc, L, W) opacity slab input for the (bc, L, K) T-interp
     weight rows + the VMEM-resident (L, K, W) layer tables — the
-    kappa slab then never exists in HBM at all."""
+    kappa slab then never exists in HBM at all.  ``done_ref`` carries
+    the per-column convergence freeze (> 0 = write old rows back),
+    applied in-kernel so the solver never runs a separate
+    (columns, layers, bins) select pass."""
     if fused:
-        (dtf_ref, temps_ref, ohs_ref, tab_ref, fu_ref, fd_ref,
+        (dtf_ref, done_ref, temps_ref, ohs_ref, tab_ref, fu_ref, fd_ref,
          lam_ref, sig_ref, ftoa_ref, tw_ref,
          fu_out, fd_out, sums_ref) = refs
     else:
-        (dtf_ref, temps_ref, k_ref, fu_ref, fd_ref,
+        (dtf_ref, done_ref, temps_ref, k_ref, fu_ref, fd_ref,
          lam_ref, sig_ref, ftoa_ref, tw_ref,
          fu_out, fd_out, sums_ref) = refs
     sig = sig_ref[0, :][None, :]
+    done = done_ref[:, :] > 0.0                       # (bc, 1)
 
     if fused:
         def k_row(l):
@@ -122,8 +126,8 @@ def _unpack(refs, fused):
     else:
         def k_row(l):
             return k_ref[:, l, :]
-    return (dtf_ref, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
-            ftoa_ref, tw_ref, fu_out, fd_out, sums_ref)
+    return (dtf_ref, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref,
+            sig, ftoa_ref, tw_ref, fu_out, fd_out, sums_ref)
 
 
 def _emit_kernel(*refs, L, fused):
@@ -134,7 +138,7 @@ def _emit_kernel(*refs, L, fused):
     one (bc, W) -> (bc,) quadrature reduction; measured faster than a
     fully slab-vectorized formulation (whose boundary concatenates
     copy whole (bc, L, W) slabs in VMEM)."""
-    (dtf_ref, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+    (dtf_ref, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
      ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
@@ -164,8 +168,9 @@ def _emit_kernel(*refs, L, fused):
         z = cp.a * u + (-cp.b * F2d + cp.s_up)
         F1d = cp.a * F2d - cp.b * u + cp.s_down
         if i < L - 2:
-            fu_out[:, l + 1, :] = z           # top z never stored
-        fd_out[:, l, :] = F1d
+            fu_out[:, l + 1, :] = jnp.where(   # top z never stored
+                done, fu_ref[:, l + 1, :], z)
+        fd_out[:, l, :] = jnp.where(done, fd_ref[:, l, :], F1d)
         sums_ref[:, 0, i] = jnp.sum(z * tw, axis=1)
         sums_ref[:, 1, i] = jnp.sum(F2d * tw, axis=1)
         sums_ref[:, 2, i] = jnp.sum(u * tw, axis=1)
@@ -176,7 +181,7 @@ def _emit_kernel(*refs, L, fused):
 def _absorb_kernel(*refs, L, fused):
     """One top-to-bottom absorption sweep for a block of columns
     (reference `twostream.py:424-550`, ordering per rt.sweeps)."""
-    (dtf_ref, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+    (dtf_ref, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
      _ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
@@ -198,8 +203,8 @@ def _absorb_kernel(*refs, L, fused):
         d_next = d
         d = cp.a * d_next + (-cp.b * F1u + cp.s_down)
         F2u = cp.a * F1u - cp.b * d_next + cp.s_up
-        fd_out[:, i, :] = d
-        fu_out[:, i + 1, :] = F2u
+        fd_out[:, i, :] = jnp.where(done, fd_ref[:, i, :], d)
+        fu_out[:, i + 1, :] = jnp.where(done, fu_ref[:, i + 1, :], F2u)
         sums_ref[:, 0, i] = jnp.sum(F2u * tw, axis=1)
         sums_ref[:, 1, i] = jnp.sum(d_next * tw, axis=1)
         sums_ref[:, 2, i] = jnp.sum(F1u * tw, axis=1)
@@ -208,16 +213,22 @@ def _absorb_kernel(*refs, L, fused):
 
 
 def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
-               block_columns: int, interpret: bool):
+               block_columns: int, interpret: bool, done=None):
     """``kappa`` is either the (B, L, W) total-opacity slab, or an
     ``(ohs, tab)`` pair — (B, L, K) T-interp weight rows + (L, K, W)
     layer tables (see ``opacity.tables.layer_interp_weights``) — in
     which case the opacity is contracted inside the kernel and never
-    materialized in HBM."""
+    materialized in HBM.  ``done`` (B,) bool freezes those columns'
+    flux rows in-kernel."""
     fused = isinstance(kappa, tuple)
     B, L, W = F_up.shape
     bc = min(block_columns, B)
     pad = (-B) % bc
+    dtype = F_up.dtype
+    if done is None:
+        done_col = jnp.zeros((B, 1), dtype)
+    else:
+        done_col = done.astype(dtype)[:, None]
     if fused:
         ohs, tab = kappa
         K = ohs.shape[-1]
@@ -225,12 +236,12 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         temps = jnp.concatenate([temps, temps[-1:].repeat(pad, 0)])
         F_up = jnp.concatenate([F_up, F_up[-1:].repeat(pad, 0)])
         F_down = jnp.concatenate([F_down, F_down[-1:].repeat(pad, 0)])
+        done_col = jnp.concatenate([done_col, done_col[-1:].repeat(pad, 0)])
         if fused:
             ohs = jnp.concatenate([ohs, ohs[-1:].repeat(pad, 0)])
         else:
             kappa = jnp.concatenate([kappa, kappa[-1:].repeat(pad, 0)])
     Bp = B + pad
-    dtype = F_up.dtype
 
     vec = partial(pl.BlockSpec, (1, W), lambda i: (0, 0),
                   memory_space=pltpu.VMEM)
@@ -253,6 +264,8 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         in_specs=[
             pl.BlockSpec((1, L - 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((bc, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *kappa_specs,
@@ -272,7 +285,7 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(dtf, temps, *kappa_args, F_up, F_down,
+    )(dtf, done_col, temps, *kappa_args, F_up, F_down,
       sc.lam, sc.sigma, sc.f_toa, sc.tw)
     F_up_new, F_down_new, sums = out
     if pad:
@@ -284,7 +297,8 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
 
 def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
                       pressures, params: PhysicsParams,
-                      block_columns: int = 8, interpret: bool = False):
+                      block_columns: int = 8, interpret: bool = False,
+                      done=None):
     """Fused batched emit sweep: (B, L) temps, (B, L, W) state.
 
     Returns (F_up_new, F_down_new, temps_new, dT) — identical results
@@ -293,7 +307,7 @@ def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
     """
     F_up_new, F_down_new, sums = _run_sweep(
         _emit_kernel, sc.dtf_emit, temps, k_all, F_up, F_down, sc,
-        block_columns, interpret)
+        block_columns, interpret, done=done)
     p = pressures
     T1 = temps[:, 1:]
     T2 = jnp.concatenate([temps[:, 2:], temps[:, -1:]], axis=1)
@@ -310,11 +324,12 @@ def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
 
 def absorb_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
                         pressures, params: PhysicsParams,
-                        block_columns: int = 8, interpret: bool = False):
+                        block_columns: int = 8, interpret: bool = False,
+                        done=None):
     """Fused batched absorb sweep (mirror of :func:`emit_sweep_pallas`)."""
     F_up_new, F_down_new, sums = _run_sweep(
         _absorb_kernel, sc.dtf_absorb, temps, k_all, F_up, F_down, sc,
-        block_columns, interpret)
+        block_columns, interpret, done=done)
     p = pressures
     T1 = temps[:, :-1]
     T2 = temps[:, 1:]

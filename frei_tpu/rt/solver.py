@@ -295,6 +295,7 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     )
 
     fused_parts = None
+    mask_in_kernel = engine.startswith("pallas")
     if engine.startswith("pallas"):
         interp = engine.endswith("-interpret")
         use_iteration = engine.startswith("pallas-iteration")
@@ -376,6 +377,13 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
             # one fused kernel per iteration; flux-state freezing of
             # converged columns happens in-kernel
             T1, Fu2, Fd2, T2, dT2 = iteration(temps, F_up, F_down, done)
+        elif mask_in_kernel:
+            # pallas sweeps apply the convergence freeze in-kernel —
+            # no separate (B, L, W) select pass
+            k1 = kap_fn(temps)
+            Fu1, Fd1, T1, dT1 = emit(temps, F_up, F_down, k1, done=done)
+            k2 = kap_fn(T1)
+            Fu2, Fd2, T2, dT2 = absorb(T1, Fu1, Fd1, k2, done=done)
         else:
             k1 = kap_fn(temps)
             Fu1, Fd1, T1, dT1 = emit(temps, F_up, F_down, k1)
@@ -408,8 +416,8 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
             # semantics (a converged column's counter freezes)
             sel(jnp.full((B,), it + 1, jnp.int32), n_iters),
             sel(T2, temps),
-            Fu2 if iteration is not None else sel(Fu2, F_up),
-            Fd2 if iteration is not None else sel(Fd2, F_down),
+            Fu2 if mask_in_kernel else sel(Fu2, F_up),
+            Fd2 if mask_in_kernel else sel(Fd2, F_down),
             jax.tree.map(sel, cs2, cs),
             sel(hist2, hist),
             sel(maxdT2, maxdT),
