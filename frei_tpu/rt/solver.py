@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .physics import PhysicsParams
-from .sweeps import SweepResult, absorb_sweep, emit_dtaus, emit_sweep
+from .sweeps import absorb_sweep, emit_dtaus, emit_sweep
 
 __all__ = ["SolverConfig", "RTConstants", "RTResult", "solve_rc",
            "solve_rc_batched"]
