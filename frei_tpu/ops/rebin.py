@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["bin_codes", "resort_rebin", "reference_bin_scaling"]
+__all__ = ["bin_codes", "resort_rebin", "reference_bin_scaling",
+           "grouped_aggregate"]
 
 
 def bin_codes(x, edges):
@@ -96,3 +97,59 @@ def reference_bin_scaling(binned, edges, dtype=None):
     edges = jnp.asarray(edges, binned.dtype if dtype is None else dtype)
     width = edges[1:] - edges[:-1]
     return binned * width * 1e-3
+
+
+def grouped_aggregate(values, x, edges, op: str = "trapz", *,
+                      codes=None, fill=0.0):
+    """Generic grouped aggregation of samples into wavelength bins.
+
+    The reference extends numpy_groupies with a custom trapezoid op so
+    that ``trapz`` sits alongside the library's sum/mean/max/... table
+    (`/root/reference/frei/interp.py:223-243`).  This is the same
+    surface in XLA: one segment-reduction primitive parameterized by
+    ``op`` in {"trapz", "sum", "mean", "max", "min", "count"}, batched
+    over leading axes, jit/vmap friendly on CPU and TPU.
+
+    ``trapz`` uses the pair-within-bin semantics of
+    :func:`resort_rebin`; the others aggregate the per-sample values
+    whose coordinate falls in the (right-closed) bin.  Empty bins get
+    ``fill`` (the reference fills binned-average gaps afterwards,
+    `opacity.py:60-63`).
+    """
+    if op == "trapz":
+        return resort_rebin(values, x, edges, codes=codes)
+    values = jnp.asarray(values)
+    x = jnp.asarray(x, values.dtype)
+    n_bins = np.shape(edges)[0] - 1
+    if codes is None:
+        codes = bin_codes(x, edges)
+    valid = codes >= 0
+    seg = jnp.where(valid, codes, n_bins)
+
+    def reduce_last(vals, segsum_like, init):
+        masked = jnp.where(valid, vals, init)
+        flat = masked.reshape(-1, masked.shape[-1])
+        out = jax.vmap(
+            lambda p: segsum_like(p, seg, num_segments=n_bins + 1)[:n_bins]
+        )(flat)
+        return out.reshape(masked.shape[:-1] + (n_bins,))
+
+    count = jax.ops.segment_sum(valid.astype(values.dtype), seg,
+                                num_segments=n_bins + 1)[:n_bins]
+    empty = count == 0
+    if op == "count":
+        return jnp.broadcast_to(count, values.shape[:-1] + (n_bins,))
+    if op == "sum":
+        out = reduce_last(values, jax.ops.segment_sum, 0.0)
+    elif op == "mean":
+        out = reduce_last(values, jax.ops.segment_sum, 0.0)
+        out = out / jnp.maximum(count, 1.0)
+    elif op == "max":
+        out = reduce_last(values, jax.ops.segment_max,
+                          jnp.asarray(-jnp.inf, values.dtype))
+    elif op == "min":
+        out = reduce_last(values, jax.ops.segment_min,
+                          jnp.asarray(jnp.inf, values.dtype))
+    else:
+        raise ValueError(f"unknown aggregation op {op!r}")
+    return jnp.where(empty, jnp.asarray(fill, out.dtype), out)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from frei_tpu.grids import (make_rt_grid, pressure_grid, temperature_grid,
                             trapezoid_weights, wavelength_grid)
@@ -50,3 +51,33 @@ def test_make_rt_grid_cgs():
     assert np.isclose(g.lam_cm[0], 0.5e-4)
     assert np.isclose(g.pressures_cgs[0], 200e6)
     assert np.isclose(g.pressures_bar[-1], 1e-6)
+
+
+def test_astropy_quantity_boundary():
+    """Constructors accept astropy Quantities and convert them to the
+    same canonical CGS as documented plain floats (the reference
+    carries Quantities everywhere, `core.py:68-70,113-116`; frei_tpu
+    validates once at the boundary)."""
+    u = pytest.importorskip("astropy.units")
+
+    from frei_tpu import Grid, Planet
+
+    p_plain = Planet(a_rstar=6.45, m_bar=2.4, g=24.79, T_star=5800.0)
+    p_q = Planet(a_rstar=6.45, m_bar=2.4 * 1.67262192369e-24 * u.g,
+                 g=2479.0 * u.cm / u.s ** 2, T_star=5800.0 * u.K)
+    assert abs(p_plain.m_bar - p_q.m_bar) / p_plain.m_bar < 1e-9
+    assert abs(p_plain.g - p_q.g) / p_plain.g < 1e-12
+    assert p_plain.T_star == p_q.T_star
+
+    g_plain = Grid(p_plain, lam_min=0.6, lam_max=9.0, n_wl_bins=40,
+                   P_toa=1e-5, P_boa=100.0, n_layers=8, T_ref=2400.0)
+    g_q = Grid(p_q, lam_min=0.6 * u.um, lam_max=9000.0 * u.nm,
+               n_wl_bins=40, P_toa=1e-5 * u.bar, P_boa=10.0 * u.MPa,
+               n_layers=8, T_ref=2400.0 * u.K)
+    np.testing.assert_allclose(np.asarray(g_plain.lam),
+                               np.asarray(g_q.lam), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_plain.pressures),
+                               np.asarray(g_q.pressures), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_plain.init_temperatures),
+                               np.asarray(g_q.init_temperatures),
+                               rtol=1e-12)

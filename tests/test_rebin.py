@@ -99,3 +99,42 @@ def test_pallas_kernel_padding_edges():
         jnp.asarray(values), jnp.asarray(x), jnp.asarray(edges),
         interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("op", ["sum", "mean", "max", "min", "count"])
+def test_grouped_aggregate_ops(op):
+    """Generic aggregation matches a per-bin numpy loop (the
+    reference's numpy_groupies surface, `interp.py:223-243`)."""
+    from frei_tpu.ops.rebin import grouped_aggregate
+
+    rng = np.random.RandomState(5)
+    x = np.sort(rng.uniform(0.0, 10.0, 300))
+    edges = np.linspace(-1.0, 11.0, 14)   # includes empty end bins
+    vals = rng.randn(2, 300)
+    got = np.asarray(grouped_aggregate(
+        jnp.asarray(vals), jnp.asarray(x), jnp.asarray(edges), op=op,
+        fill=0.0))
+    fns = {"sum": np.sum, "mean": np.mean, "max": np.max,
+           "min": np.min, "count": len}
+    want = np.zeros((2, 13))
+    for k in range(13):
+        m = (x > edges[k]) & (x <= edges[k + 1])
+        if m.any():
+            for b in range(2):
+                want[b, k] = fns[op](vals[b, m]) if op != "count" \
+                    else float(m.sum())
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
+
+
+def test_grouped_aggregate_trapz_alias():
+    from frei_tpu.ops.rebin import grouped_aggregate, resort_rebin
+
+    rng = np.random.RandomState(6)
+    x = np.linspace(0.5, 10.0, 500)
+    edges = np.geomspace(0.5, 10.0, 21)
+    vals = rng.rand(3, 500)
+    a = grouped_aggregate(jnp.asarray(vals), jnp.asarray(x),
+                          jnp.asarray(edges), op="trapz")
+    b = resort_rebin(jnp.asarray(vals), jnp.asarray(x),
+                     jnp.asarray(edges))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
