@@ -108,10 +108,14 @@ def bench_oracle():
         F_toa=f_toa_np(lam_cm, planet.T_star, planet.a_rstar),
         g=planet.g, m_bar=planet.m_bar, alpha=planet.alpha)
     T0 = np.asarray(grid.rt_grid.init_temperatures)
-    t0 = time.perf_counter()
-    mini.emission_spectrum(T0, n_timesteps=N_ITERS,
-                           n_zero_crossings=10 ** 6, convergence_dT=0.0)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):   # best-of-3: host timing noise is +-30%
+        t0 = time.perf_counter()
+        mini.emission_spectrum(T0, n_timesteps=N_ITERS,
+                               n_zero_crossings=10 ** 6,
+                               convergence_dT=0.0)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
     return N_BINS / wall, wall
 
 

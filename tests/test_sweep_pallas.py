@@ -197,3 +197,47 @@ def test_equilibrium_chemistry_with_pallas_engine():
     k = grid._kappa_fn(T0, grid._consts.pressures)
     col = np.asarray(k)[0, :, 16]
     assert np.ptp(col / col.mean()) > 1e-3  # T-dependent abundances
+
+
+def test_multispecies_pipeline_with_fused_kernels(tmp_path):
+    """Full multi-species path: three synthetic stores -> resort-rebin
+    -> stacked tables -> equilibrium chemistry -> batched solve with
+    the fused Pallas kernels (S > 1 exercises the K = S*nT weight-row
+    contraction) vs the XLA engine."""
+    from frei_tpu.opacity import binned_opacity_stack, make_synthetic_store
+
+    for iso, seed in [("1H2-16O", 7), ("23Na", 8), ("48Ti-16O", 9)]:
+        make_synthetic_store(tmp_path / f"{iso}__syn.ftop",
+                             isotopologue=iso, n_hr=40_000, seed=seed)
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=40, n_layers=8, T_ref=2400.0,
+                dtype=jnp.float64)
+    stack = binned_opacity_stack(grid.rt_grid,
+                                 path=str(tmp_path / "*.ftop"),
+                                 cache=False, dtype=jnp.float64)
+    assert stack.values.shape[0] == 3
+    grid.load_opacities(opacities=stack, chemistry="equilibrium")
+
+    rng = np.random.RandomState(2)
+    T0 = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                     * rng.uniform(0.95, 1.05, (4, 1)))
+    rx = solve_rc_batched(T0, grid._consts, planet.physics_params(),
+                          grid._kappa_fn,
+                          SolverConfig(n_timesteps=3, engine="xla"))
+    # the two-kernel engine matches xla at ~1e-10 (identical chem.mmr
+    # values); the iteration engine recomputes chemistry in-kernel by
+    # interpolating the float32 ln-MMR tables at full precision, so
+    # its mixing ratios differ from FastChemJAX._vmr_from_table's
+    # float32 bilinear at float32 roundoff (~1e-7 relative kappa),
+    # hence the looser flux tolerance
+    for engine in ("pallas-interpret", "pallas-iteration-interpret"):
+        rp = solve_rc_batched(T0, grid._consts, planet.physics_params(),
+                              grid._kappa_fn,
+                              SolverConfig(n_timesteps=3, engine=engine))
+        np.testing.assert_allclose(np.asarray(rx.flux),
+                                   np.asarray(rp.flux), rtol=1e-4,
+                                   err_msg=engine)
+        np.testing.assert_allclose(np.asarray(rx.final_temps),
+                                   np.asarray(rp.final_temps),
+                                   rtol=1e-5, err_msg=engine)
+    assert np.all(np.isfinite(np.asarray(rx.flux)))
