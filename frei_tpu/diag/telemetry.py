@@ -18,7 +18,8 @@ from typing import List, Optional
 import jax
 import numpy as np
 
-__all__ = ["SolveMetrics", "progress_printer", "profile_trace",
+__all__ = ["SolveMetrics", "flux_balance", "progress_printer",
+           "profile_trace",
            "enable_nan_debugging"]
 
 
@@ -68,6 +69,28 @@ class SolveMetrics:
             columns=columns,
             bins=int(np.asarray(result.flux).shape[-1]),
         )
+
+
+def flux_balance(result, trapz_w) -> np.ndarray:
+    """Relative bolometric net-flux spread across the interior layers
+    (layer 0 is excluded: the reference driver initializes F_up[0] to
+    zero and never updates it, `core.py:265-266` with
+    `twostream.py:356` — faithfully reproduced here).
+
+    Equilibration telemetry, not a convergence gate: at perfect
+    radiative equilibrium the net flux is height-constant, but the
+    scheme's dT criterion (`core.py:301-311`) stops at |dT| < 3 K,
+    where the adaptive timestep (Malik Eqs 27-28) still tolerates an
+    O(1) residual net-flux gradient — the metric decreases
+    monotonically with further iteration without reaching zero.
+    Works on single and batched results; returns per-column values."""
+    tw = np.asarray(trapz_w, np.float64)
+    net = (np.asarray(result.F_up, np.float64)
+           - np.asarray(result.F_down, np.float64)) @ tw   # (..., L)
+    net = net[..., 1:]
+    emergent = np.asarray(result.flux, np.float64) @ tw
+    spread = net.max(axis=-1) - net.min(axis=-1)
+    return spread / np.abs(emergent)
 
 
 def progress_printer(it, max_dT, n_conv, n_layers):

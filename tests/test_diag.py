@@ -123,3 +123,35 @@ def test_irradiated_equilibrium_dashboard_end_to_end():
     assert len(axes) == 5
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_flux_balance_telemetry():
+    """The equilibration telemetry decreases with iteration (it does
+    NOT reach zero: the scheme's dT criterion stops far short of
+    strict flux constancy — see the flux_balance docstring) and is
+    finite/positive on single and batched results."""
+    from frei_tpu.diag.telemetry import flux_balance
+    from frei_tpu.rt.solver import SolverConfig, solve_rc
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=64, n_layers=10, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    T0 = jnp.asarray(grid.init_temperatures)
+    imb = {}
+    for n in (1, 200):
+        res = solve_rc(T0, grid._consts, planet.physics_params(),
+                       grid._kappa_fn,
+                       SolverConfig(n_timesteps=n,
+                                    n_zero_crossings=10 ** 6,
+                                    convergence_dT=0.0))
+        imb[n] = float(flux_balance(res, grid._consts.trapz_w))
+    assert 0 < imb[200] < imb[1], imb
+    # batched results give per-column values
+    from frei_tpu.rt.solver import solve_rc_batched
+    resb = solve_rc_batched(jnp.stack([T0, T0 * 1.02]), grid._consts,
+                            planet.physics_params(), grid._kappa_fn,
+                            SolverConfig(n_timesteps=2))
+    fb = flux_balance(resb, grid._consts.trapz_w)
+    assert fb.shape == (2,) and np.all(np.isfinite(fb))
