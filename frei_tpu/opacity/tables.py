@@ -124,13 +124,25 @@ def make_opacity_stack(
 
 def _axis_weights(coord, x):
     """Lower index, interpolation fraction, and in-range mask for linear
-    interpolation of points ``x`` on ascending axis ``coord``."""
+    interpolation of points ``x`` on ascending axis ``coord``.
+
+    The hull test carries a few-ULP relative tolerance: solver grids
+    routinely place lookup points EXACTLY on a table edge (the run's
+    initial temperatures are the table's temperature axis), and an
+    LSB-level perturbation from a different compute path (e.g. the
+    f64-emulating TPU backend round-trips arrays with ~1e-13 relative
+    error) must not flip the zero-fill and silently erase that layer's
+    molecular opacity.  Points genuinely outside by more than ~8 ULP
+    still zero-fill, matching the reference (`opacity.py:241-263`)."""
     n = coord.shape[0]
     idx = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1, 0, n - 2)
     x0 = coord[idx]
     x1 = coord[idx + 1]
     frac = (x - x0) / (x1 - x0)
-    in_range = (x >= coord[0]) & (x <= coord[-1])
+    eps = 8.0 * jnp.finfo(jnp.result_type(coord)).eps
+    lo = coord[0] - eps * jnp.abs(coord[0])
+    hi = coord[-1] + eps * jnp.abs(coord[-1])
+    in_range = (x >= lo) & (x <= hi)
     return idx, frac, in_range
 
 

@@ -99,7 +99,11 @@ def _interp_weights(coord_row, x, clip: bool):
     if clip:
         ok = 1.0
     else:
-        ok = ((x >= c[0, 0]) & (x <= c[0, n - 1])).astype(x.dtype)
+        # few-ULP hull tolerance, matching opacity.tables._axis_weights
+        eps = 8.0 * jnp.finfo(x.dtype).eps
+        lo = c[0, 0] - eps * jnp.abs(c[0, 0])
+        hi = c[0, n - 1] + eps * jnp.abs(c[0, n - 1])
+        ok = ((x >= lo) & (x <= hi)).astype(x.dtype)
     w_lo = (1.0 - f) * ok
     w_hi = f * ok
     return (jnp.where(col == i, w_lo, 0.0)
