@@ -123,3 +123,37 @@ def test_associative_equals_sequential_scan(setup):
         n_timesteps=4, associative=False)
     np.testing.assert_allclose(spec_a.flux, spec_s.flux, rtol=1e-10)
     np.testing.assert_allclose(temps_a, temps_s, rtol=1e-12)
+
+
+def test_full_golden_config_trajectory_matches_oracle():
+    """Trajectory parity at the FULL golden configuration (500 bins x
+    30 layers — the small-grid fixtures miss table-edge cases: the
+    initial temperatures sit exactly on the opacity table's
+    temperature axis, see opacity.tables._axis_weights).  25 RC
+    iterations, float64."""
+    from frei_tpu import Grid, Planet, load_example_opacity
+    from frei_tpu.constants import u_amu
+    from frei_tpu.opacity.rayleigh import rayleigh_total
+    from frei_tpu.stellar.irradiation import f_toa_np
+    from reference_impl import MiniFrei
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, T_ref=2400.0, dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    stack = grid.opacities
+    lam_cm = grid.rt_grid.lam_cm
+    mini = MiniFrei(
+        lam_cm=lam_cm, pressures_cgs=grid.rt_grid.pressures_cgs,
+        k_table=np.asarray(stack.values)[0],
+        temps_axis=np.asarray(stack.temps),
+        press_axis_cgs=np.asarray(stack.press_cgs),
+        mmr=1.5e-3 * 18.0 * u_amu / planet.m_bar,
+        sigma_scat=rayleigh_total(lam_cm, planet.m_bar),
+        F_toa=f_toa_np(lam_cm, planet.T_star, planet.a_rstar),
+        g=planet.g, m_bar=planet.m_bar, alpha=planet.alpha)
+    T0 = np.asarray(grid.rt_grid.init_temperatures)
+    want_flux, want_T, *_ = mini.emission_spectrum(T0, n_timesteps=25)
+    spec, temps, *_ = grid.emission_spectrum(n_timesteps=25)
+    np.testing.assert_allclose(spec.flux, want_flux, rtol=1e-9)
+    np.testing.assert_allclose(temps, want_T, rtol=1e-9)
