@@ -298,7 +298,7 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
 def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
                       pressures, params: PhysicsParams,
                       block_columns: int = 8, interpret: bool = False,
-                      done=None):
+                      done=None, bins_axis: str = ""):
     """Fused batched emit sweep: (B, L) temps, (B, L, W) state.
 
     Returns (F_up_new, F_down_new, temps_new, dT) — identical results
@@ -308,6 +308,11 @@ def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
     F_up_new, F_down_new, sums = _run_sweep(
         _emit_kernel, sc.dtf_emit, temps, k_all, F_up, F_down, sc,
         block_columns, interpret, done=done)
+    if bins_axis:
+        # inside shard_map with the spectral grid sharded: the kernel
+        # produced per-shard partial quadratures — one psum over ICI
+        # completes the bolometric integral (`twostream.py:16-20`)
+        sums = jax.lax.psum(sums, bins_axis)
     p = pressures
     T1 = temps[:, 1:]
     T2 = jnp.concatenate([temps[:, 2:], temps[:, -1:]], axis=1)
@@ -325,11 +330,13 @@ def emit_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
 def absorb_sweep_pallas(temps, F_up, F_down, k_all, sc: SweepConsts,
                         pressures, params: PhysicsParams,
                         block_columns: int = 8, interpret: bool = False,
-                        done=None):
+                        done=None, bins_axis: str = ""):
     """Fused batched absorb sweep (mirror of :func:`emit_sweep_pallas`)."""
     F_up_new, F_down_new, sums = _run_sweep(
         _absorb_kernel, sc.dtf_absorb, temps, k_all, F_up, F_down, sc,
         block_columns, interpret, done=done)
+    if bins_axis:
+        sums = jax.lax.psum(sums, bins_axis)
     p = pressures
     T1 = temps[:, :-1]
     T2 = temps[:, 1:]

@@ -94,12 +94,12 @@ def solve_ensemble(
     rest keep iterating (identical per-column trajectories to
     single-column runs).
 
-    Engines (``cfg.engine``): on a columns-only mesh the fused Pallas
-    sweep kernels run per shard under ``shard_map`` — columns need no
-    collectives, so each device solves its own sub-batch with the
-    fast path.  Bins-sharded meshes use the XLA engine under GSPMD
-    (Pallas kernels are opaque to the GSPMD partitioner; the
-    bolometric psum across ``bins`` is inserted by XLA).
+    Engines (``cfg.engine``): Pallas engines run per shard under
+    ``shard_map`` -- the columns axis needs no collectives, and on a
+    bins-sharded mesh the sweep kernels emit per-shard partial
+    bolometric quadratures that one psum per sweep completes across
+    ``bins`` (the scheme's only cross-bin collective, riding ICI).
+    The XLA engine runs under GSPMD, which inserts the same psum.
     """
     from ..rt.solver import _resolve_engine, solve_rc_batched
 
@@ -107,6 +107,7 @@ def solve_ensemble(
         mesh = make_mesh()
     consts, stack = shard_solver_inputs(mesh, consts, stack)
 
+    lt = None
     if stack.values.shape[1] > 1:
         # P-interpolation hoisted onto the fixed layer grid; the tab's
         # wavelength axis inherits the stack's bins sharding.
@@ -138,8 +139,61 @@ def solve_ensemble(
     init_temps = jax.device_put(jnp.asarray(init_temps), cols)
 
     engine = _resolve_engine(cfg.engine)
-    if engine.startswith("pallas") and mesh.shape[BINS] == 1:
+    n_bins_shards = mesh.shape[BINS]
+    if engine.startswith("pallas") and (n_bins_shards == 1
+                                        or lt is not None):
         from jax.experimental.shard_map import shard_map
+
+        from ..opacity.tables import (kappa_from_layer_tables,
+                                      layer_interp_weights)
+
+        bins_axis = BINS if n_bins_shards > 1 else ""
+        cfg_sm = cfg._replace(bins_axis=bins_axis)
+
+        if lt is not None:
+            lt_outer = lt
+
+            def run(T0, consts_in, tab_in):
+                # rebuild the kappa closure over the per-shard table
+                # slice (closures may not capture sharded arrays)
+                lt_in = lt_outer._replace(tab=tab_in)
+
+                def k_all(temps, pressures):
+                    mmr = chem.mmr(temps, pressures)
+                    k, _ = kappa_from_layer_tables(
+                        lt_in, mmr, temps, consts_in.sigma_scat)
+                    return k
+
+                def _ohs_in(temps):
+                    return layer_interp_weights(
+                        lt_in, chem.mmr(temps, consts_in.pressures),
+                        temps)
+
+                k_all.layer_parts = (_ohs_in, lt_in.tab)
+                k_all.iteration_hook = (lt_in.temps, lt_in.tab, chem)
+                return solve_rc_batched(T0, consts_in, params, k_all,
+                                        cfg_sm)
+
+            consts_specs = RTConstants(
+                lam_cm=P(BINS), trapz_w=P(BINS), pressures=P(),
+                sigma_scat=P(BINS), F_toa=P(BINS))
+            out_specs = RTResult(
+                flux=P(COLUMNS, BINS),
+                final_temps=P(COLUMNS),
+                temp_history=P(COLUMNS),
+                n_history=P(COLUMNS),
+                dtaus=P(COLUMNS, None, BINS),
+                F_up=P(COLUMNS, None, BINS),
+                F_down=P(COLUMNS, None, BINS),
+                n_iterations=P(COLUMNS),
+                converged=P(COLUMNS),
+                max_dT_history=P(COLUMNS),
+            )
+            fn = shard_map(run, mesh=mesh,
+                           in_specs=(P(COLUMNS), consts_specs,
+                                     P(None, None, BINS)),
+                           out_specs=out_specs, check_rep=False)
+            return jax.jit(fn)(init_temps, consts, lt.tab)
 
         fn = shard_map(
             partial(solve_rc_batched, consts=consts, params=params,
@@ -151,7 +205,8 @@ def solve_ensemble(
         return jax.jit(fn)(init_temps)
 
     if engine.startswith("pallas"):
-        # Pallas can't ride GSPMD across bins shards; fall back.
+        # single-T-point tables have no layer factorization and Pallas
+        # cannot ride GSPMD across bins shards -- fall back.
         cfg = cfg._replace(engine="xla")
 
     batched = jax.jit(

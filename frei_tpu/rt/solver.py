@@ -75,6 +75,12 @@ class SolverConfig(NamedTuple):
     # trajectories and goldens are cross-checked in
     # tests/test_sweep_pallas.py.
     engine: str = "auto"
+    # Name of a shard_map bins mesh axis, when the batched solve runs
+    # inside shard_map with the spectral grid sharded: the Pallas
+    # sweeps then psum their per-shard partial bolometric quadratures
+    # across this axis before the temperature update (the one
+    # cross-bin collective of the scheme, riding ICI).
+    bins_axis: str = ""
 
 
 class RTConstants(NamedTuple):
@@ -305,10 +311,10 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         sc = make_sweep_consts(consts, params)
         emit = partial(emit_sweep_pallas, sc=sc,
                        pressures=consts.pressures, params=params,
-                       interpret=interp)
+                       interpret=interp, bins_axis=cfg.bins_axis)
         absorb = partial(absorb_sweep_pallas, sc=sc,
                          pressures=consts.pressures, params=params,
-                         interpret=interp)
+                         interpret=interp, bins_axis=cfg.bins_axis)
         # When the kappa model factors over the fixed layer grid
         # (attribute attached by the Grid / ensemble builders), hand
         # the kernels the T-interp weight rows + layer tables instead

@@ -81,12 +81,15 @@ def test_early_convergence_freezing(setup):
         assert int(res.n_iterations[c]) == int(one.n_iterations)
 
 
-def test_ensemble_pallas_shard_map(setup):
-    """Columns-only meshes run the fused Pallas engine per shard under
-    shard_map; results match the per-column XLA solves."""
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_ensemble_pallas_shard_map(setup, mesh_shape):
+    """The fused Pallas engine runs per shard under shard_map on
+    columns-only AND bins-sharded meshes (per-shard partial bolometric
+    quadratures completed by one psum per sweep); results match the
+    per-column XLA solves."""
     planet, grid = setup
     T0 = _ensemble_inputs(grid, 16)
-    mesh = make_mesh(8, 1)
+    mesh = make_mesh(*mesh_shape)
     cfg = SolverConfig(n_timesteps=3, engine="pallas-interpret")
     res = solve_ensemble(jnp.asarray(T0), grid._consts,
                          planet.physics_params(), grid.opacities,
