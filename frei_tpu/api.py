@@ -324,7 +324,8 @@ class Grid:
 
     def emission_spectra(self, init_temps, n_timesteps=1,
                          n_zero_crossings=2, convergence_dT=3.0,
-                         associative=False, engine="auto"):
+                         associative=False, engine="auto",
+                         init_fluxes=None):
         """Batched emission spectra for an ensemble of columns on this
         grid (retrieval grids / phase curves — the scaling story the
         reference's vestigial dask path never delivered,
@@ -337,6 +338,9 @@ class Grid:
         engine : "auto" | "pallas" | "xla" | "pallas-interpret"
             Sweep engine (see ``SolverConfig.engine``); "auto" uses the
             fused Pallas kernels on TPU.
+        init_fluxes : optional ((C, L, W), (C, L, W)) pair
+            Warm-start flux state for resuming a checkpointed solve
+            (``frei_tpu.io.checkpoint.resume_state``).
 
         Returns
         -------
@@ -371,7 +375,7 @@ class Grid:
         t0 = time.perf_counter()
         result: RTResult = solve_rc_batched(
             init_temps, self._consts, self.planet.physics_params(),
-            self._kappa_fn, cfg)
+            self._kappa_fn, cfg, init_fluxes=init_fluxes)
         jax.block_until_ready(result.flux)
         self.last_result = result
         self.last_metrics = SolveMetrics.from_result(

@@ -14,11 +14,11 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["save_solution", "load_solution"]
+__all__ = ["save_solution", "load_solution", "resume_state"]
 
 _FIELDS = ("flux", "final_temps", "temp_history", "n_history", "dtaus",
            "F_up", "F_down", "n_iterations", "converged",
-           "max_dT_history")
+           "max_dT_history", "loop_temps", "loop_F_up", "loop_F_down")
 
 
 def save_solution(path, result, **extra) -> Path:
@@ -39,3 +39,14 @@ def load_solution(path) -> dict:
     ``Grid(..., init_temperatures=...)``."""
     with np.load(Path(path), allow_pickle=False) as d:
         return {k: d[k] for k in d.files}
+
+
+def resume_state(path):
+    """Load the pieces needed to continue a checkpointed solve:
+    ``(loop_temps, (loop_F_up, loop_F_down))`` — the PRE-final-emit
+    state, so resuming via ``solve_rc_batched(temps, ...,
+    init_fluxes=fluxes)`` continues the original emit/absorb sequence
+    exactly (the convergence statistics restart — they only affect
+    the stopping rule)."""
+    d = load_solution(path)
+    return d["loop_temps"], (d["loop_F_up"], d["loop_F_down"])

@@ -188,6 +188,9 @@ def solve_ensemble(
                 n_iterations=P(COLUMNS),
                 converged=P(COLUMNS),
                 max_dT_history=P(COLUMNS),
+                loop_temps=P(COLUMNS),
+                loop_F_up=P(COLUMNS, None, BINS),
+                loop_F_down=P(COLUMNS, None, BINS),
             )
             fn = shard_map(run, mesh=mesh,
                            in_specs=(P(COLUMNS), consts_specs,

@@ -104,6 +104,12 @@ class RTResult(NamedTuple):
     n_iterations: jnp.ndarray   # outer iterations actually run
     converged: jnp.ndarray      # per-layer convergence flags (L,) bool
     max_dT_history: jnp.ndarray  # (n_timesteps,) max |dT| per iteration [K]
+    # pre-final-emit loop state — the exact resume point (the flux /
+    # temps fields above are the FINAL EMIT's outputs; resuming from
+    # those would apply emit twice in a row)
+    loop_temps: jnp.ndarray     # (L,)
+    loop_F_up: jnp.ndarray      # (L, W)
+    loop_F_down: jnp.ndarray    # (L, W)
 
 
 class _ConvState(NamedTuple):
@@ -254,6 +260,9 @@ def solve_rc(
         n_iterations=it,
         converged=conv_layers,
         max_dT_history=maxdT,
+        loop_temps=temps,
+        loop_F_up=F_up,
+        loop_F_down=F_down,
     )
 
 
@@ -267,7 +276,8 @@ def _resolve_engine(engine: str) -> str:
 
 @partial(jax.jit, static_argnames=("kappa_all", "cfg"))
 def solve_rc_batched(init_temps, consts, params, kappa_all,
-                     cfg: SolverConfig = SolverConfig()):
+                     cfg: SolverConfig = SolverConfig(),
+                     init_fluxes=None):
     """Batch-native radiative-convective solve over (columns, layers)
     initial profiles.
 
@@ -286,6 +296,12 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
       reverted by the ``done`` select (identical semantics to the
       vmapped per-column scatter);
     * the ``done`` select broadcasts per-column over trailing axes.
+
+    ``init_fluxes``: optional (F_up, F_down) pair — (B, L, W) each —
+    to warm-start the flux state (e.g. from a checkpointed
+    ``RTResult``): together with the checkpointed temperatures this
+    continues the solution trajectory exactly (the convergence
+    statistics restart — they only affect the stopping rule).
     """
     B, L = init_temps.shape
     W = consts.lam_cm.shape[0]
@@ -442,12 +458,18 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         flips=jnp.zeros((B, L), dtype=jnp.int32),
         n_cols=jnp.zeros((B,), dtype=jnp.int32),
     )
+    if init_fluxes is None:
+        F_up0 = jnp.zeros((B, L, W), dtype=dtype)
+        F_down0 = jnp.zeros((B, L, W), dtype=dtype)
+    else:
+        F_up0 = jnp.asarray(init_fluxes[0], dtype)
+        F_down0 = jnp.asarray(init_fluxes[1], dtype)
     carry0 = (
         jnp.asarray(0, jnp.int32),
         jnp.zeros((B,), jnp.int32),
         init_temps,
-        jnp.zeros((B, L, W), dtype=dtype),
-        jnp.zeros((B, L, W), dtype=dtype),
+        F_up0,
+        F_down0,
         cs0,
         jnp.zeros((B, n_hist, L), dtype=dtype),
         jnp.zeros((B, cfg.n_timesteps), dtype=dtype),
@@ -475,4 +497,7 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         n_iterations=n_iters,
         converged=conv_layers,
         max_dT_history=maxdT,
+        loop_temps=temps,
+        loop_F_up=F_up,
+        loop_F_down=F_down,
     )

@@ -155,3 +155,39 @@ def test_flux_balance_telemetry():
                             SolverConfig(n_timesteps=2))
     fb = flux_balance(resb, grid._consts.trapz_w)
     assert fb.shape == (2,) and np.all(np.isfinite(fb))
+
+
+def test_checkpoint_resume_is_exact(tmp_path):
+    """Checkpointing after k iterations and resuming for the rest
+    reproduces the continuous run EXACTLY (the checkpoint carries the
+    pre-final-emit loop state)."""
+    from frei_tpu.io.checkpoint import resume_state, save_solution
+    from frei_tpu.rt.solver import SolverConfig, solve_rc_batched
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=48, n_layers=9, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    rng = np.random.RandomState(4)
+    T0 = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                     * rng.uniform(0.95, 1.05, (3, 1)))
+    # convergence disabled so the stopping rule (whose statistics
+    # restart on resume) cannot differ
+    def cfg(n):
+        return SolverConfig(n_timesteps=n, n_zero_crossings=10 ** 6,
+                            convergence_dT=0.0)
+    args = (grid._consts, planet.physics_params(), grid._kappa_fn)
+    full = solve_rc_batched(T0, *args, cfg(6))
+
+    part = solve_rc_batched(T0, *args, cfg(3))
+    save_solution(tmp_path / "ckpt.npz", part)
+    temps_r, fluxes_r = resume_state(tmp_path / "ckpt.npz")
+    resumed = solve_rc_batched(jnp.asarray(temps_r), *args, cfg(3),
+                               init_fluxes=fluxes_r)
+    np.testing.assert_array_equal(np.asarray(full.flux),
+                                  np.asarray(resumed.flux))
+    np.testing.assert_array_equal(np.asarray(full.final_temps),
+                                  np.asarray(resumed.final_temps))
+    np.testing.assert_array_equal(np.asarray(full.F_up),
+                                  np.asarray(resumed.F_up))
