@@ -125,3 +125,34 @@ def test_engines_agree(cache_env):
         t = binned_opacity_tables(grid, engine=eng, cache=False)
         np.testing.assert_allclose(
             t["1H2-16O"][0], t_xla["1H2-16O"][0], rtol=2e-4, atol=1e-8)
+
+
+def test_grid_load_opacities_from_store_path(cache_env):
+    """The Grid-level species loading flow: on-disk stores -> rebin ->
+    solve (the reference's `grid.load_opacities()` + `~/.frei` cache
+    path, `core.py:198-231`)."""
+    from frei_tpu import Grid, Planet
+    from frei_tpu.opacity import make_synthetic_store
+
+    make_synthetic_store(cache_env / "1H2-16O__syn.ftop",
+                         isotopologue="1H2-16O", n_hr=30_000)
+    make_synthetic_store(cache_env / "23Na__syn.ftop",
+                         isotopologue="23Na", n_hr=30_000, seed=9)
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=32, n_layers=6, T_ref=2400.0,
+                dtype=jnp.float64)
+    stack = grid.load_opacities(species=["H2O"],
+                                path=str(cache_env / "*.ftop"))
+    assert stack.species == ("1H2-16O",)       # species filter applied
+    spec, *_ = grid.emission_spectrum(n_timesteps=1)
+    assert np.all(np.isfinite(spec.flux))
+
+
+def test_emission_before_load_raises():
+    from frei_tpu import Grid, Planet
+
+    grid = Grid(Planet.from_hot_jupiter(), n_wl_bins=16, n_layers=4)
+    with pytest.raises(ValueError, match="load opacities"):
+        grid.emission_spectrum()
+    with pytest.raises(ValueError, match="load opacities"):
+        grid.emission_spectra(np.zeros((2, 4)))
