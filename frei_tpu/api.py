@@ -9,7 +9,7 @@ past this module is unitless jittable CGS arrays.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax
@@ -22,7 +22,7 @@ from .chemistry.mocks import MockChemistry
 from .grids import RTGrid, make_rt_grid
 from .opacity.rayleigh import rayleigh_total
 from .opacity.tables import (OpacityStack, kappa_from_stack,
-                             load_example_opacity, make_opacity_stack)
+                             make_opacity_stack)
 from .rt.physics import PhysicsParams
 from .rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
 from .stellar.irradiation import f_toa_np

@@ -14,7 +14,7 @@ import numpy as np
 
 from .. import constants as const
 from ..units import to_barye, to_kelvin
-from .fastchem import FastChemJAX, load_chem_table
+from .fastchem import FastChemJAX
 from .mocks import MockChemistry
 
 __all__ = ["chemistry"]

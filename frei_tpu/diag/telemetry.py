@@ -11,9 +11,7 @@ signal — streamed out of the jitted while-loop with
 from __future__ import annotations
 
 import contextlib
-import time
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
 
 import jax
 import numpy as np

@@ -12,7 +12,6 @@ ensemble restart skips straight to the solve.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 from pathlib import Path
 

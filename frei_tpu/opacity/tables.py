@@ -13,7 +13,7 @@ O(layers x species) scipy calls per sweep.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ import pytest
 from frei_tpu.chemistry.fastchem import (FastChemJAX, UNKNOWN_SPECIES,
                                          equilibrium_log_pressures,
                                          load_chem_table)
-from frei_tpu.constants import BAR_TO_CGS, k_B
+from frei_tpu.constants import BAR_TO_CGS
 
 # reference test profile (`test_chemistry.py:12-13`)
 P_BAR = np.logspace(-6, 2, 100)

@@ -14,7 +14,7 @@ import pytest
 from frei_tpu import Grid, Planet, load_example_opacity
 from frei_tpu.constants import u_amu
 from frei_tpu.opacity.rayleigh import rayleigh_total
-from frei_tpu.rt.solver import RTConstants, SolverConfig, solve_rc
+
 from frei_tpu.rt.sweeps import absorb_sweep, emit_sweep
 from frei_tpu.stellar.irradiation import f_toa
 
