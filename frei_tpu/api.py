@@ -10,7 +10,7 @@ past this module is unitless jittable CGS arrays.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,20 +80,45 @@ class Planet:
                              alpha=self.alpha, n_dof=n_dof)
 
 
-class Spectrum(NamedTuple):
-    """Emission spectrum (lightweight ``specutils.Spectrum1D`` stand-in,
-    reference `core.py:335-336`)."""
+@dataclass(frozen=True)
+class Spectrum:
+    """Emission spectrum, duck-typing ``specutils.Spectrum1D``
+    (reference `core.py:335-336` returns a Spectrum1D).
+
+    The raw fields (``wavelength_um``, ``flux_cgs``) are always bare
+    numpy arrays in the documented canonical units; the
+    ``spectral_axis`` / ``wavelength`` / ``flux`` properties attach
+    astropy units when astropy is installed (and fall back to the bare
+    arrays otherwise), so reference users' downstream ``.to(...)``
+    code ports unchanged.
+    """
 
     wavelength_um: np.ndarray   # (W,) [micron]
-    flux: np.ndarray            # (W,) [erg / s / cm^3]
+    flux_cgs: np.ndarray        # (W,) [erg / s / cm^3]
 
     @property
     def wavelength(self):
-        return self.wavelength_um
+        return units.as_quantity(self.wavelength_um, "um")
 
     @property
     def spectral_axis(self):
-        return self.wavelength_um
+        """Spectrum1D-compatible spectral axis (Quantity [um] when
+        astropy is installed)."""
+        return units.as_quantity(self.wavelength_um, "um")
+
+    @property
+    def flux(self):
+        """Emergent flux (Quantity [erg / s / cm^3] when astropy is
+        installed — the reference's ``flux_unit``,
+        `frei/twostream.py:13`)."""
+        return units.as_quantity(self.flux_cgs, "erg / (s cm3)")
+
+    def to_spectrum1d(self):
+        """An actual ``specutils.Spectrum1D`` (requires the optional
+        specutils + astropy packages)."""
+        from specutils import Spectrum1D
+        return Spectrum1D(flux=self.flux,
+                          spectral_axis=self.spectral_axis)
 
 
 class Grid:
@@ -178,13 +203,20 @@ class Grid:
 
     # -- opacity / chemistry loading --------------------------------------
     def load_opacities(self, species=None, path=None, opacities=None,
-                       chemistry=None, force_reload=False):
+                       chemistry=None, force_reload=False,
+                       groupies=True):
         """Attach binned opacities (reference `core.py:198-231`).
 
         ``opacities`` may be an :class:`OpacityStack` or a dict of
         ``{isotopologue: (values, temps_K, press_bar)}`` arrays; when
         None, tables are binned from the on-disk opacity store under
         ``path`` (see ``frei_tpu.opacity.etl``).
+
+        ``groupies`` selects the rebin semantics, as in the reference
+        (`core.py:199` -> `opacity.py:66-170`): True for the grouped
+        trapezoid-integral path (the semantics the published goldens
+        are calibrated against — frei_tpu's default), False for the
+        exact per-bin average path (the reference's own default).
 
         ``chemistry`` selects the mixing-ratio model: None or "mock"
         for the constant-VMR mock (the reference's no-pyfastchem
@@ -196,7 +228,8 @@ class Grid:
         if (self.opacities is None and opacities is None) or force_reload:
             from .opacity.etl import binned_opacity_stack
             self.opacities = binned_opacity_stack(
-                self.rt_grid, species=species, path=path, dtype=self.dtype
+                self.rt_grid, species=species, path=path,
+                dtype=self.dtype, groupies=groupies
             )
         elif opacities is not None:
             if isinstance(opacities, OpacityStack):
@@ -316,7 +349,7 @@ class Grid:
         n_hist = int(result.n_history)
         spec = Spectrum(
             wavelength_um=np.asarray(self.lam),
-            flux=np.asarray(result.flux),
+            flux_cgs=np.asarray(result.flux),
         )
         temp_hist = np.asarray(result.temp_history)[:n_hist].T  # (L, cols)
         return (spec, np.asarray(result.final_temps), temp_hist,
@@ -384,7 +417,7 @@ class Grid:
         n_hist = int(np.max(np.asarray(result.n_history)))
         spec = Spectrum(
             wavelength_um=np.asarray(self.lam),
-            flux=np.asarray(result.flux),
+            flux_cgs=np.asarray(result.flux),
         )
         temp_hist = np.swapaxes(
             np.asarray(result.temp_history)[:, :n_hist, :], 1, 2)
@@ -417,7 +450,7 @@ def effective_temperature_milne(grid: Grid, spec, dtaus, final_temps):
     dtaus = np.asarray(dtaus, dtype=np.float64)
     pressures = np.asarray(grid.pressures, dtype=np.float64)  # [bar]
     lam_cm = np.asarray(grid.rt_grid.lam_cm)
-    flux = np.asarray(spec.flux, dtype=np.float64)
+    flux = np.asarray(spec.flux_cgs, dtype=np.float64)
 
     pressure_milne = np.ones(dtaus.shape[1])
     for i in range(dtaus.shape[1]):
@@ -436,7 +469,7 @@ def effective_temperature_planck(grid: Grid, spec):
     """Stefan-Boltzmann inversion of the bolometric emitted flux
     (reference `core.py:408-414`)."""
     lam_cm = np.asarray(grid.rt_grid.lam_cm)
-    bol = np.trapezoid(np.asarray(spec.flux, dtype=np.float64), lam_cm)
+    bol = np.trapezoid(np.asarray(spec.flux_cgs, dtype=np.float64), lam_cm)
     return float((bol / const.sigma_sb) ** 0.25)
 
 

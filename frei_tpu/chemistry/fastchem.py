@@ -127,7 +127,8 @@ def _masked_lse(terms, mask, axis=-1):
 
 
 def equilibrium_log_pressures(table: ChemTable, T, P_bar, x0=None,
-                              n_sweeps: int = 60, n_inner: int = 16):
+                              n_sweeps: int = 60, n_inner: int = 16,
+                              return_residuals: bool = False):
     """Solve equilibrium for a batch of (T, P) points.
 
     Parameters
@@ -138,11 +139,15 @@ def equilibrium_log_pressures(table: ChemTable, T, P_bar, x0=None,
         plus ``m`` from a previous solve.
     n_sweeps : Gauss-Seidel sweeps (static).
     n_inner : scalar-Newton iterations per 1-D element solve (static).
+    return_residuals : also return the per-sweep convergence history.
 
     Returns
     -------
     ln_p : (..., E + S) log partial pressures (elements then species).
     z : (..., E + 1) warm-start state for subsequent calls.
+    r_hist : (n_sweeps,) max-over-batch |log pressure-closure residual|
+        per Gauss-Seidel sweep (only when ``return_residuals``) —
+        ``r_hist[-1]`` is the solve's convergence metric.
     """
     T = jnp.asarray(T)
     P_bar = jnp.asarray(P_bar)
@@ -154,10 +159,11 @@ def equilibrium_log_pressures(table: ChemTable, T, P_bar, x0=None,
     if x0 is not None:
         x0 = jnp.asarray(x0, dtype).reshape(-1, E + 1)
     static = _prepare_static(table)
-    ln_p, z = _solve_batch(static, Tf, Pf, x0,
-                           n_sweeps=n_sweeps, n_inner=n_inner)
-    return (ln_p.reshape(shape + (E + S,)),
-            z.reshape(shape + (E + 1,)))
+    ln_p, z, r_hist = _solve_batch(static, Tf, Pf, x0,
+                                   n_sweeps=n_sweeps, n_inner=n_inner)
+    out = (ln_p.reshape(shape + (E + S,)),
+           z.reshape(shape + (E + 1,)))
+    return out + (r_hist,) if return_residuals else out
 
 
 def _prepare_static(table: ChemTable):
@@ -259,7 +265,7 @@ def _gs_solve(nu, eps, coeffs, order, iH, iH2, ie, T, P_bar, z0,
     y = lnK + lam @ nu.T
     ln_p = jnp.concatenate([lam, y], axis=1)
     z = jnp.concatenate([lam, m[:, None]], axis=1)
-    return ln_p, z
+    return ln_p, z, r_hist
 
 
 def _solve_batch(static, T, P_bar, x0, n_sweeps, n_inner):
@@ -354,6 +360,7 @@ class FastChemJAX:
                            np.log10(P_range_bar[1]), nP)
         P_row = 10.0 ** logP
         ln_vmr = np.empty((nT, nP, len(self._indices)))
+        worst = 0.0
         with jax.enable_x64(True):
             # Continuation: solve the hottest row cold (chemistry is
             # mildest there), then walk down in T warm-starting each
@@ -361,12 +368,32 @@ class FastChemJAX:
             z = None
             for k in range(nT - 1, -1, -1):
                 T_row = np.full(nP, 10.0 ** logT[k])
-                ln_p, z = equilibrium_log_pressures(
+                ln_p, z, r = equilibrium_log_pressures(
                     self.table, jnp.asarray(T_row, jnp.float64),
                     jnp.asarray(P_row, jnp.float64),
-                    x0=z, n_sweeps=self.n_sweeps if z is None else 16)
+                    x0=z, n_sweeps=self.n_sweeps if z is None else 16,
+                    return_residuals=True)
+                if float(r[-1]) > 1e-8:
+                    # warm start from the neighboring T row was not
+                    # close enough (coarse grids / stiff cold rows) —
+                    # finish the row with a full-sweep continuation
+                    ln_p, z, r = equilibrium_log_pressures(
+                        self.table, jnp.asarray(T_row, jnp.float64),
+                        jnp.asarray(P_row, jnp.float64),
+                        x0=z, n_sweeps=self.n_sweeps,
+                        return_residuals=True)
+                worst = max(worst, float(r[-1]))
                 ln_vmr[k] = (np.asarray(ln_p)[:, self._indices]
                              - np.log(P_row)[:, None])
+        #: worst final pressure-closure residual over the table build —
+        #: convergence telemetry (asserted in tests; loud failure
+        #: detection for pathological (T, P) coverage requests)
+        self.table_residual = worst
+        if worst > 1e-6:
+            raise RuntimeError(
+                f"chemistry table build did not converge: final "
+                f"pressure-closure residual {worst:.2e} (> 1e-6); "
+                f"raise n_sweeps or shrink T_range/P_range_bar")
         self._tab_logT = jnp.asarray(logT, jnp.float32)
         self._tab_logP = jnp.asarray(logP, jnp.float32)
         self._tab_lnvmr = jnp.asarray(ln_vmr, jnp.float32)
@@ -396,13 +423,27 @@ class FastChemJAX:
         """(S,) + batch volume mixing ratios."""
         if self.mode == "table":
             return self._vmr_from_table(temperatures, pressures_cgs)
+        return self.vmr_with_state(temperatures, pressures_cgs)[0]
+
+    def vmr_with_state(self, temperatures, pressures_cgs, z0=None,
+                       n_sweeps: Optional[int] = None):
+        """Exact-mode VMRs plus the warm-start state ``z`` for the next
+        call (pure function — thread ``z`` through an iteration loop
+        to re-solve with far fewer sweeps as temperatures drift; the
+        exact-mode analogue of the table build's row-to-row
+        continuation).  Also returns the per-sweep residual history as
+        the third element (``r_hist[-1]`` is the convergence metric).
+        """
+        if self.mode == "table":
+            raise AttributeError("warm-start state is exact-mode only")
         P_bar = jnp.asarray(pressures_cgs) / const.BAR_TO_CGS
-        ln_p, _ = equilibrium_log_pressures(
-            self.table, jnp.asarray(temperatures), P_bar,
-            n_sweeps=self.n_sweeps)
+        ln_p, z, r_hist = equilibrium_log_pressures(
+            self.table, jnp.asarray(temperatures), P_bar, x0=z0,
+            n_sweeps=self.n_sweeps if n_sweeps is None else n_sweeps,
+            return_residuals=True)
         ln_vmr = (ln_p[..., self._indices]
                   - jnp.log(P_bar)[..., None])
-        return jnp.moveaxis(jnp.exp(ln_vmr), -1, 0)
+        return jnp.moveaxis(jnp.exp(ln_vmr), -1, 0), z, r_hist
 
     def mmr(self, temperatures, pressures_cgs):
         """(S,) + batch mass mixing ratios (`chemistry.py:197-199`)."""

@@ -69,7 +69,7 @@ def dashboard(grid, spec, comparison_spectrum, dtaus, final_temps,
 
     lam = np.asarray(grid.lam)
     pressures = np.asarray(grid.pressures)
-    flux = np.asarray(spec.flux)
+    flux = np.asarray(spec.flux_cgs)
     comparison_spectrum = np.asarray(comparison_spectrum)
     final_temps = np.asarray(final_temps)
     temperature_history = np.asarray(temperature_history)

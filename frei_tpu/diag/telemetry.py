@@ -26,15 +26,18 @@ class SolveMetrics:
     """Structured summary of one radiative-convective solve."""
 
     n_iterations: int
-    converged_layers: int
+    converged_layers: int       # layers converged (in every column, if batched)
     n_layers: int
     max_dT_history: np.ndarray
     wall_seconds: float
     columns: int = 1
     bins: int = 0
+    converged_columns: int | None = None  # batched solves only
 
     @property
     def converged(self) -> bool:
+        if self.converged_columns is not None:
+            return self.converged_columns == self.columns
         return self.converged_layers == self.n_layers
 
     @property
@@ -46,8 +49,10 @@ class SolveMetrics:
     def summary(self) -> str:
         tail = (self.max_dT_history[self.n_iterations - 1]
                 if self.n_iterations > 0 else float("nan"))
-        return (f"iters={self.n_iterations} "
-                f"conv={self.converged_layers}/{self.n_layers} "
+        conv = (f"conv={self.converged_columns}/{self.columns} cols"
+                if self.converged_columns is not None
+                else f"conv={self.converged_layers}/{self.n_layers}")
+        return (f"iters={self.n_iterations} {conv} "
                 f"max|dT|={tail:.2f} K wall={self.wall_seconds:.3f}s")
 
     @classmethod
@@ -57,15 +62,20 @@ class SolveMetrics:
         hist = np.asarray(result.max_dT_history)
         if hist.ndim == 2:   # batched result: worst column per iter
             hist = hist.max(axis=0)
+        batched = conv.ndim > 1
         return cls(
             n_iterations=int(np.max(np.asarray(result.n_iterations))),
-            converged_layers=int(conv.sum()) if conv.ndim == 1
-            else int(conv.all(axis=-1).sum()),
-            n_layers=conv.shape[-1] if conv.ndim == 1 else conv.shape[0],
+            # batched: a layer counts as converged when it converged in
+            # every column (conv.all over the column axis)
+            converged_layers=int(conv.sum()) if not batched
+            else int(conv.all(axis=0).sum()),
+            n_layers=conv.shape[-1],
             max_dT_history=hist,
             wall_seconds=wall_seconds,
             columns=columns,
             bins=int(np.asarray(result.flux).shape[-1]),
+            converged_columns=int(conv.all(axis=-1).sum()) if batched
+            else None,
         )
 
 

@@ -176,15 +176,69 @@ def _nearest_indices(grid, points):
         points, np.float64)[:, None]), axis=1)
 
 
+def _exact_bin_stats(wav, edges):
+    """Per-bin sample statistics for the exact-average path: index range,
+    sample count, span (last - first sample), and sample-mean wavelength
+    of each right-closed bin ``(e_k, e_{k+1}]``.
+
+    These depend only on the wavelength grid, so they are computed once
+    on the host and shared by every (T, P) row."""
+    # first sample strictly above the left edge / last sample <= right
+    i0 = np.searchsorted(wav, edges[:-1], side="right")
+    i1 = np.searchsorted(wav, edges[1:], side="right") - 1
+    count = np.maximum(i1 - i0 + 1, 0)
+    nonempty = count > 0
+    i0n, i1n = i0[nonempty], i1[nonempty]
+    span = wav[i1n] - wav[i0n]
+    csum = np.concatenate([[0.0], np.cumsum(np.asarray(wav, np.float64))])
+    mean = (csum[i1n + 1] - csum[i0n]) / count[nonempty]
+    return nonempty, count[nonempty], span, mean
+
+
+def _linear_extrap_weights(xs, targets):
+    """Index/weight pairs for 1-D linear interpolation with linear
+    extrapolation from the two nearest end points — scipy
+    ``interp1d(..., fill_value='extrapolate')`` semantics, as the
+    reference's final resampling onto the bin centers
+    (`opacity.py:164-167`)."""
+    xs = np.asarray(xs, np.float64)
+    t = np.asarray(targets, np.float64)
+    i = np.clip(np.searchsorted(xs, t) - 1, 0, len(xs) - 2)
+    w = (t - xs[i]) / (xs[i + 1] - xs[i])
+    return i, w
+
+
 def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
-                 row_chunk: int = 64):
-    """Crop + grouped-trapezoid rebin + reference scaling + nearest
-    (T, P) interpolation for one species store."""
+                 row_chunk: int = 64, groupies: bool = True):
+    """Crop + grouped-trapezoid rebin + nearest (T, P) interpolation
+    for one species store.
+
+    ``groupies=True`` (the fast path the goldens are calibrated
+    against): per-bin trapezoid INTEGRAL x bin width x 1e-3
+    (`opacity.py:124-148`).
+
+    ``groupies=False`` (the reference ``load_opacities`` DEFAULT,
+    `core.py:199` -> `opacity.py:150-170`): per-bin trapezoid AVERAGE
+    (integral / span of the samples in the bin, `mapfunc_exact`,
+    `opacity.py:33-42`) located at the bin's sample-mean wavelength,
+    then LINEAR interpolation with extrapolation onto the run's bin
+    centers — which also fills empty bins (`opacity.py:60-63` comment,
+    `:164-167`).  Both paths reuse the same grouped-trapezoid device
+    kernels; the average/resample steps are cheap host-precomputed
+    gathers.  A single-sample bin (reference: 0/0 -> NaN, an artifact
+    never hit at line-list resolutions) takes the sample's value here.
+    """
     edges_um = rt_grid.wl_edges_cm / const.MICRON_TO_CM
     wav = np.asarray(store.wavelength_um)
-    # strict crop, as the reference's .where((wav > min) & (wav < max))
-    lo, hi = np.searchsorted(wav, edges_um[0], side="right"), \
-        np.searchsorted(wav, edges_um[-1], side="left")
+    if groupies:
+        # strict crop, as the reference's .where((wav > min) & (wav < max))
+        lo, hi = np.searchsorted(wav, edges_um[0], side="right"), \
+            np.searchsorted(wav, edges_um[-1], side="left")
+    else:
+        # groupby_bins drops out-of-bin samples itself; right-closed
+        # intervals include a sample exactly at the last edge
+        lo = np.searchsorted(wav, edges_um[0], side="right")
+        hi = np.searchsorted(wav, edges_um[-1], side="right")
     wav_c = wav[lo:hi]
     nT, nP = store.cube.shape[:2]
     n_bins = rt_grid.n_wavelengths
@@ -214,9 +268,31 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
         stop = min(start + row_chunk, nT * nP)
         out[start:stop] = rebin_rows(
             np.asarray(flat[start:stop, lo:hi], dtype=np.float32))
-    binned = out.reshape(nT, nP, n_bins)
-    width = np.diff(edges_um)
-    binned = binned * (width * 1e-3).astype(np.float32)
+    if groupies:
+        binned = out.reshape(nT, nP, n_bins)
+        width = np.diff(edges_um)
+        binned = binned * (width * 1e-3).astype(np.float32)
+    else:
+        nonempty, count, span, mean_wl = _exact_bin_stats(wav_c, edges_um)
+        if not nonempty.any():
+            raise ValueError(
+                f"store {store.isotopologue!r} has no samples inside "
+                "the run's wavelength bins")
+        avg = out[:, nonempty]
+        single = count == 1
+        if single.any():
+            # limit value for a one-sample bin (reference yields NaN)
+            i0 = np.searchsorted(wav_c, edges_um[:-1][nonempty],
+                                 side="right")
+            avg[:, single] = flat[:, lo:hi][:, i0[single]]
+        avg[:, ~single] /= span[~single].astype(np.float32)
+        if mean_wl.shape[0] == 1:
+            out = np.repeat(avg, n_bins, axis=1)
+        else:
+            idx, w = _linear_extrap_weights(mean_wl, rt_grid.lam_micron)
+            w32 = w.astype(np.float32)
+            out = avg[:, idx] * (1.0 - w32) + avg[:, idx + 1] * w32
+        binned = out.reshape(nT, nP, n_bins)
 
     ti = _nearest_indices(store.temps, rt_grid.init_temperatures)
     pi = _nearest_indices(store.press_bar, rt_grid.pressures_bar)
@@ -226,13 +302,20 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
 
 
 def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
-                          engine="xla", cache=True):
+                          engine="xla", cache=True, groupies=True):
     """Rebin every available species store onto the run grids.
 
     Returns ``{isotopologue: (values, temps_K, press_bar)}`` suitable
     for :func:`frei_tpu.opacity.tables.make_opacity_stack`.
-    Equivalent of the reference ``binned_opacity`` (`opacity.py:66-148`)
+    Equivalent of the reference ``binned_opacity`` (`opacity.py:66-170`)
     with device kernels and a binned-result disk cache.
+
+    ``groupies`` selects between the reference's two rebin semantics
+    (see :func:`_rebin_store`): True = trapezoid integral x bin width x
+    1e-3 (`opacity.py:124-148`, the path the published goldens are
+    calibrated against); False = exact per-bin trapezoid average with
+    linear resampling onto the bin centers (`opacity.py:150-170`, the
+    reference ``Grid.load_opacities`` default, `core.py:199`).
     """
     if path is None:
         path = str(opacity_store_dir() / "*.ftop")
@@ -251,27 +334,31 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
     key = grid_fingerprint(
         rt_grid.wl_edges_cm, rt_grid.pressures_cgs,
         rt_grid.init_temperatures,
-        extra="|".join(f"{s.isotopologue}:{s.cube.shape}" for s in stores))
+        extra="|".join(f"{s.isotopologue}:{s.cube.shape}" for s in stores)
+        + ("" if groupies else "|exact"))
     if cache:
         hit = load_binned_cache(key)
         if hit is not None:
             return hit
     tables = {}
     for s in stores:
-        tables[s.isotopologue] = _rebin_store(s, rt_grid, engine)
+        tables[s.isotopologue] = _rebin_store(s, rt_grid, engine,
+                                              groupies=groupies)
     if cache:
         save_binned_cache(key, tables)
     return tables
 
 
 def binned_opacity_stack(rt_grid: RTGrid, species=None, path=None,
-                         engine="xla", cache=True, dtype=None):
+                         engine="xla", cache=True, dtype=None,
+                         groupies=True):
     """binned_opacity_tables -> OpacityStack (device-resident)."""
     import jax.numpy as jnp
 
     from .tables import make_opacity_stack
     tables = binned_opacity_tables(rt_grid, species=species, path=path,
-                                   engine=engine, cache=cache)
+                                   engine=engine, cache=cache,
+                                   groupies=groupies)
     # collapse the (T, P) product values into the stack layout
     return make_opacity_stack(
         tables, dtype=dtype if dtype is not None else jnp.float32)

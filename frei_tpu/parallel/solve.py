@@ -142,7 +142,7 @@ def solve_ensemble(
     n_bins_shards = mesh.shape[BINS]
     if engine.startswith("pallas") and (n_bins_shards == 1
                                         or lt is not None):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ..opacity.tables import (kappa_from_layer_tables,
                                       layer_interp_weights)
@@ -195,7 +195,7 @@ def solve_ensemble(
             fn = shard_map(run, mesh=mesh,
                            in_specs=(P(COLUMNS), consts_specs,
                                      P(None, None, BINS)),
-                           out_specs=out_specs, check_rep=False)
+                           out_specs=out_specs, check_vma=False)
             return jax.jit(fn)(init_temps, consts, lt.tab)
 
         fn = shard_map(
@@ -203,7 +203,7 @@ def solve_ensemble(
                     kappa_all=kappa_all, cfg=cfg),
             mesh=mesh, in_specs=P(COLUMNS),
             out_specs=RTResult(*([P(COLUMNS)] * len(RTResult._fields))),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(fn)(init_temps)
 

@@ -343,6 +343,16 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         iteration = None
         hook = getattr(kappa_all, "iteration_hook", None)
         if use_iteration:
+            if cfg.bins_axis:
+                # the whole-iteration kernel computes the dT epilogue
+                # from per-shard partial bolometric quadratures with no
+                # psum — on a bins-sharded mesh that silently yields
+                # wrong temperatures; the two-kernel pallas engine
+                # psums per sweep (ops/sweep_pallas.py)
+                raise ValueError(
+                    "engine 'pallas-iteration' does not support a "
+                    "bins-sharded mesh (cfg.bins_axis); use engine "
+                    "'pallas'")
             if hook is None:
                 raise ValueError(
                     "engine 'pallas-iteration' needs a layer-factored "

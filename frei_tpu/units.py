@@ -28,7 +28,8 @@ from . import constants as const
 
 __all__ = [
     "to_value", "to_kelvin", "to_bar", "to_barye", "to_micron", "to_cm",
-    "to_cgs_gravity", "to_gram", "flux_cgs",
+    "to_cgs_gravity", "to_gram", "flux_cgs", "as_quantity",
+    "astropy_available",
 ]
 
 #: canonical flux-density unit used throughout: erg / s / cm^3
@@ -99,3 +100,24 @@ def to_gram(x):
 def flux_cgs(x):
     """Spectral flux density in erg / s / cm^3."""
     return to_value(x, "erg / (s cm3)")
+
+
+def astropy_available() -> bool:
+    try:
+        import astropy.units  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def as_quantity(x, unit: str):
+    """Units on the way OUT: attach an astropy unit when astropy is
+    installed, otherwise return ``x`` unchanged (documented canonical
+    units).  The reference returns Quantity-carrying outputs
+    (`/root/reference/frei/core.py:335-338`); with astropy installed,
+    downstream ``.to(...)`` code ports unchanged."""
+    try:
+        import astropy.units as u
+    except ImportError:
+        return x
+    return u.Quantity(x, u.Unit(unit), copy=False)

@@ -115,7 +115,7 @@ def test_irradiated_equilibrium_dashboard_end_to_end():
                                        dtype=jnp.float64),
         chemistry="equilibrium")
     spec, temps, hist, dtaus = grid.emission_spectrum(n_timesteps=8)
-    assert np.all(np.isfinite(spec.flux))
+    assert np.all(np.isfinite(spec.flux_cgs))
     comparison = get_binned_blackbody_spectrum(
         2400.0, grid.wl_bins, grid.lam)
     from frei_tpu.diag.plot import dashboard

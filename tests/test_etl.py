@@ -127,6 +127,104 @@ def test_engines_agree(cache_env):
             t["1H2-16O"][0], t_xla["1H2-16O"][0], rtol=2e-4, atol=1e-8)
 
 
+def _exact_rebin_oracle(st, grid):
+    """Float64 numpy transcription of the reference's groupies=False
+    path (`/root/reference/frei/opacity.py:150-170` with
+    ``mapfunc_exact``, `:33-42`): per right-closed bin, nearest-(T, P)
+    interp, trapezoid average over the samples in the bin placed at
+    their mean wavelength, then per-target linear interpolation with
+    straight-line extrapolation onto the bin centers (`:164-167`)."""
+    edges = np.asarray(grid.wl_edges_cm, np.float64) / 1e-4
+    lam = np.asarray(grid.lam_micron, np.float64)
+    wav = np.asarray(st.wavelength_um, np.float64)
+    ti = np.argmin(np.abs(st.temps[None, :]
+                          - grid.init_temperatures[:, None]), axis=1)
+    pi = np.argmin(np.abs(st.press_bar[None, :]
+                          - grid.pressures_bar[:, None]), axis=1)
+    sub = np.asarray(st.cube, np.float64)[np.ix_(ti, pi)]
+    xs, ys = [], []
+    for k in range(len(edges) - 1):
+        m = (wav > edges[k]) & (wav <= edges[k + 1])
+        if not m.any():
+            continue
+        w = wav[m]
+        assert m.sum() >= 2, "oracle requires >=2 samples per bin"
+        integral = np.trapezoid(sub[..., m], w, axis=-1)
+        xs.append(w.mean())
+        ys.append(integral / (w.max() - w.min()))
+    xs = np.asarray(xs)
+    ys = np.stack(ys, axis=-1)          # (LT, LP, n_nonempty)
+    out = np.empty(ys.shape[:-1] + (len(lam),))
+    for j, t in enumerate(lam):
+        i = min(max(int(np.searchsorted(xs, t)) - 1, 0), len(xs) - 2)
+        f = (t - xs[i]) / (xs[i + 1] - xs[i])
+        out[..., j] = ys[..., i] * (1 - f) + ys[..., i + 1] * f
+    return out
+
+
+def test_exact_rebin_matches_transcription(cache_env):
+    """groupies=False engine vs the float64 oracle, including empty
+    bins (filled by the linear resampling) and out-of-range bin centers
+    (linear extrapolation)."""
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    # narrow-range store: the run grid's outer bins are empty -> the
+    # resampling must extrapolate to cover them
+    p = make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                             n_hr=60_000, lam_range_um=(0.8, 7.0))
+    st = OpacityStore(p)
+    grid = make_rt_grid(n_wl_bins=48, n_layers=6, T_ref=2400.0)
+    t = binned_opacity_tables(grid, cache=False, groupies=False)
+    want = _exact_rebin_oracle(st, grid)
+    np.testing.assert_allclose(t["1H2-16O"][0], want,
+                               rtol=5e-5, atol=1e-10)
+
+
+def test_exact_vs_groupies_scaling(cache_env):
+    """The two semantics differ by ~integral-vs-average scaling: for a
+    constant-opacity cube, exact gives back the constant while groupies
+    gives width^2 x 1e-3 x constant (integral x width x 1e-3)."""
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    p = make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                             n_hr=50_000)
+    st = OpacityStore(p)
+    const_cube = np.full_like(np.asarray(st.cube), 3.5)
+    np.save(p / "cube.npy", const_cube)
+    st = OpacityStore(p)
+    grid = make_rt_grid(n_wl_bins=32, n_layers=4)
+    t_exact = binned_opacity_tables(grid, cache=False, groupies=False)
+    np.testing.assert_allclose(t_exact["1H2-16O"][0], 3.5, rtol=1e-5)
+    t_grp = binned_opacity_tables(grid, cache=False, groupies=True)
+    assert not np.allclose(t_grp["1H2-16O"][0], 3.5, rtol=1e-3)
+
+
+def test_exact_engines_agree(cache_env):
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                         n_hr=20000)
+    grid = make_rt_grid(n_wl_bins=32, n_layers=4)
+    t_xla = binned_opacity_tables(grid, engine="xla", cache=False,
+                                  groupies=False)
+    if native_available():
+        t = binned_opacity_tables(grid, engine="native", cache=False,
+                                  groupies=False)
+        np.testing.assert_allclose(
+            t["1H2-16O"][0], t_xla["1H2-16O"][0], rtol=2e-4, atol=1e-8)
+
+
+def test_grid_load_opacities_exact_path_solves(cache_env):
+    from frei_tpu import Grid, Planet
+
+    make_synthetic_store(cache_env / "1H2-16O__syn.ftop", n_hr=30_000)
+    grid = Grid(Planet.from_hot_jupiter(), n_wl_bins=32, n_layers=6,
+                T_ref=2400.0, dtype=jnp.float64)
+    grid.load_opacities(path=str(cache_env / "*.ftop"), groupies=False)
+    spec, *_ = grid.emission_spectrum(n_timesteps=1)
+    assert np.all(np.isfinite(spec.flux_cgs)) and np.max(spec.flux_cgs) > 0
+
+
 def test_grid_load_opacities_from_store_path(cache_env):
     """The Grid-level species loading flow: on-disk stores -> rebin ->
     solve (the reference's `grid.load_opacities()` + `~/.frei` cache
@@ -145,7 +243,7 @@ def test_grid_load_opacities_from_store_path(cache_env):
                                 path=str(cache_env / "*.ftop"))
     assert stack.species == ("1H2-16O",)       # species filter applied
     spec, *_ = grid.emission_spectrum(n_timesteps=1)
-    assert np.all(np.isfinite(spec.flux))
+    assert np.all(np.isfinite(spec.flux_cgs))
 
 
 def test_emission_before_load_raises():

@@ -81,3 +81,50 @@ def test_astropy_quantity_boundary():
     np.testing.assert_allclose(np.asarray(g_plain.init_temperatures),
                                np.asarray(g_q.init_temperatures),
                                rtol=1e-12)
+
+
+def test_quantity_round_trip_outputs():
+    """Quantity in -> Quantity out (VERDICT parity item: the reference
+    returns a Spectrum1D + Quantity temps, `core.py:335-338`).  With
+    astropy installed the Spectrum properties carry units; the raw
+    ``*_um`` / ``*_cgs`` fields stay bare for numerics."""
+    u = pytest.importorskip("astropy.units")
+    from frei_tpu import Grid, Planet, load_example_opacity
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=24, n_layers=4,
+                T_ref=2400.0 * u.K, lam_min=0.5 * u.um,
+                lam_max=10.0 * u.um)
+    grid.load_opacities(opacities=load_example_opacity(grid))
+    spec, *_ = grid.emission_spectrum(n_timesteps=1)
+    assert spec.flux.unit == u.erg / u.s / u.cm ** 3
+    assert spec.spectral_axis.unit == u.um
+    assert spec.wavelength.unit == u.um
+    # downstream reference-style .to() conversions port unchanged
+    np.testing.assert_allclose(
+        spec.flux.to_value(u.W / u.m ** 3),
+        np.asarray(spec.flux_cgs) * 1e-7 * 1e6)
+    np.testing.assert_allclose(spec.wavelength.to_value(u.cm),
+                               spec.wavelength_um * 1e-4)
+
+
+def test_spectrum_units_fallback_without_astropy(monkeypatch):
+    """Without astropy the unit-carrying properties degrade to the bare
+    canonical-unit arrays (no hard dependency)."""
+    import builtins
+
+    from frei_tpu.api import Spectrum
+
+    real_import = builtins.__import__
+
+    def no_astropy(name, *a, **k):
+        if name.startswith("astropy"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_astropy)
+    spec = Spectrum(wavelength_um=np.array([1.0, 2.0]),
+                    flux_cgs=np.array([3.0, 4.0]))
+    assert spec.flux is spec.flux_cgs
+    assert spec.spectral_axis is spec.wavelength_um
+    assert spec.wavelength is spec.wavelength_um

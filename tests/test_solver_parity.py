@@ -108,7 +108,7 @@ def test_multistep_trajectory_matches_oracle(setup, n_timesteps):
         mini.emission_spectrum(T0, n_timesteps=n_timesteps))
     spec, temps, hist, dtaus = grid.emission_spectrum(
         n_timesteps=n_timesteps)
-    np.testing.assert_allclose(spec.flux, want_flux, rtol=1e-9)
+    np.testing.assert_allclose(spec.flux_cgs, want_flux, rtol=1e-9)
     np.testing.assert_allclose(temps, want_temps, rtol=1e-10)
     assert hist.shape == want_hist.shape
     np.testing.assert_allclose(hist, want_hist, rtol=1e-10)
@@ -121,7 +121,7 @@ def test_associative_equals_sequential_scan(setup):
         n_timesteps=4, associative=True)
     spec_s, temps_s, *_ = grid.emission_spectrum(
         n_timesteps=4, associative=False)
-    np.testing.assert_allclose(spec_a.flux, spec_s.flux, rtol=1e-10)
+    np.testing.assert_allclose(spec_a.flux_cgs, spec_s.flux_cgs, rtol=1e-10)
     np.testing.assert_allclose(temps_a, temps_s, rtol=1e-12)
 
 
@@ -155,5 +155,5 @@ def test_full_golden_config_trajectory_matches_oracle():
     T0 = np.asarray(grid.rt_grid.init_temperatures)
     want_flux, want_T, *_ = mini.emission_spectrum(T0, n_timesteps=25)
     spec, temps, *_ = grid.emission_spectrum(n_timesteps=25)
-    np.testing.assert_allclose(spec.flux, want_flux, rtol=1e-9)
+    np.testing.assert_allclose(spec.flux_cgs, want_flux, rtol=1e-9)
     np.testing.assert_allclose(temps, want_T, rtol=1e-9)

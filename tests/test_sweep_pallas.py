@@ -154,7 +154,7 @@ def test_grid_emission_spectra_matches_per_column(setup):
     planet, grid, params, T, *_ = setup
     spec, temps, hist, dtaus = grid.emission_spectra(
         T, n_timesteps=4, engine="xla")
-    assert spec.flux.shape == (B, W)
+    assert spec.flux_cgs.shape == (B, W)
     assert temps.shape == (B, L)
     assert dtaus.shape == (B, L, W)
     cfg = SolverConfig(n_timesteps=4)
@@ -163,7 +163,7 @@ def test_grid_emission_spectra_matches_per_column(setup):
                        grid._kappa_fn, cfg)
         # batched vs single-column compilations reduce the bolometric
         # quadrature in different orders -> ~1e-10 relative
-        np.testing.assert_allclose(spec.flux[c], np.asarray(one.flux),
+        np.testing.assert_allclose(spec.flux_cgs[c], np.asarray(one.flux),
                                    rtol=1e-9)
         np.testing.assert_allclose(temps[c], np.asarray(one.final_temps),
                                    rtol=1e-9)

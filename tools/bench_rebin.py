@@ -7,7 +7,7 @@ opacity cube onto an R~500 grid — the reference's numba hot loop
 
   xla     jax segment-sum kernel (CPU or TPU)
   pallas  Pallas TPU kernel (TPU only)
-  native  C++ (OpenMP) kernel, built on first use
+  native  threaded C++ (std::thread) kernel, built on first use
 
 Run: PYTHONPATH=. python tools/bench_rebin.py
 """
@@ -60,11 +60,10 @@ def main():
         except Exception as e:
             print("pallas engine failed:", str(e)[:80])
 
-    from frei_tpu.native import grouped_trapezoid_native, native_available
+    from frei_tpu.native import grouped_trapezoid_native
     try:
-        if native_available() or True:
-            results["native"] = timed(
-                lambda: grouped_trapezoid_native(rows, x, edges))
+        results["native"] = timed(
+            lambda: grouped_trapezoid_native(rows, x, edges))
     except Exception as e:
         print("native engine failed:", str(e)[:80])
 

@@ -63,19 +63,19 @@ def main():
         want_flux, want_T, _, want_dtaus, *_ = mini.emission_spectrum(
             T0, n_timesteps=n)
         spec, temps, _, dtaus = grid.emission_spectrum(n_timesteps=n)
-        fr = np.abs(spec.flux - want_flux) / (np.abs(want_flux) + 1e-300)
+        fr = np.abs(spec.flux_cgs - want_flux) / (np.abs(want_flux) + 1e-300)
         tr = np.abs(temps - want_T) / np.abs(want_T)
         dr = np.abs(dtaus - want_dtaus) / (np.abs(want_dtaus) + 1e-300)
         print(f"{n:6d} {fr.max():14.2e} {tr.max():12.2e} "
               f"{dr.max():14.2e}")
 
     spec, temps, _, dtaus = grid.emission_spectrum(n_timesteps=1)
-    i = int(np.argmax(spec.flux))
+    i = int(np.argmax(spec.flux_cgs))
     teff = effective_temperature(grid, spec, dtaus, temps)
     print("\ngolden quantities (reference test_core.py:52-71):")
-    print(f"  peak wavelength {spec.wavelength[i]:.4f} um "
+    print(f"  peak wavelength {spec.wavelength_um[i]:.4f} um "
           f"(golden 1.1518 +- 0.02)")
-    print(f"  peak flux       {spec.flux[i]:.4e} erg/s/cm^3 "
+    print(f"  peak flux       {spec.flux_cgs[i]:.4e} erg/s/cm^3 "
           f"(golden 1.296e13 +- 0.1e13)")
     print(f"  T_eff           {teff:.1f} K (golden 2400 +- 200)")
 
