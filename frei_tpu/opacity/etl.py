@@ -255,12 +255,17 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
                 jnp.asarray(rows), jnp.asarray(wav_c),
                 jnp.asarray(edges_um)))
     else:
+        import jax
         import jax.numpy as jnp
         from ..ops.rebin import resort_rebin
+        # jit once per chunk shape — eager per-op dispatch of the
+        # segment-sum chain is ~300x slower on accelerator backends
+        wav_d = jnp.asarray(wav_c)
+        edges_d = jnp.asarray(edges_um)
+        rebin_jit = jax.jit(lambda rows: resort_rebin(rows, wav_d,
+                                                      edges_d))
         def rebin_rows(rows):
-            return np.asarray(resort_rebin(
-                jnp.asarray(rows, jnp.float32), jnp.asarray(wav_c),
-                jnp.asarray(edges_um)))
+            return np.asarray(rebin_jit(jnp.asarray(rows, jnp.float32)))
 
     flat = store.cube.reshape(nT * nP, -1)
     out = np.empty((nT * nP, n_bins), dtype=np.float32)

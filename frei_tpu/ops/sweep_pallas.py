@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as const
 from ..rt import physics
 from ..rt.physics import PhysicsParams
-from .twostream import expm1_series, two_stream_couplers
+from .twostream import (expm1_series, two_stream_couplers,
+                        two_stream_couplers_g0)
 
 __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
            "absorb_sweep_pallas"]
@@ -89,12 +90,14 @@ def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
     )
 
 
-def _planck_row(c1, lam, T_col):
+def _planck_row(c1, xrow, T_col):
     """B_lambda for one layer of a column block: (bc, 1) temperatures
-    against (1, W) wavelengths — op-order-identical to
-    ``ops.planck.planck_lambda`` so the kernel bit-matches the XLA
-    sweep's radiances."""
-    return c1 / expm1_series(const.hc_over_k / (lam * T_col))
+    against the hoisted (1, W) row ``xrow = hc/(k lam)`` — the
+    full-width per-layer divide of ``hc/(k lam T)`` becomes one (bc, 1)
+    reciprocal plus a multiply (equal to ``ops.planck.planck_lambda``
+    to float rounding; engines are cross-checked on converged
+    outputs)."""
+    return c1 / expm1_series(xrow * (1.0 / T_col))
 
 
 def _unpack(refs, fused):
@@ -142,6 +145,7 @@ def _emit_kernel(*refs, L, fused):
      ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
+    xrow = const.hc_over_k / lam              # hoisted Planck argument
     tw = tw_ref[0, :][None, :]
 
     # Untouched rows (`twostream.py:356,392-393`).
@@ -150,14 +154,15 @@ def _emit_kernel(*refs, L, fused):
     fd_out[:, 0, :] = fd_ref[:, 0, :]
 
     z = fu_ref[:, 1, :]                       # F_1_up carry
-    B1 = _planck_row(c1, lam, temps_ref[:, 1][:, None])
+    B1 = _planck_row(c1, xrow, temps_ref[:, 1][:, None])
+    sz = None
     for i in range(L - 1):
         l = i + 1                             # swept layer
         kk = k_row(l)
         dtau = kk * dtf_ref[0, i]
         om = sig / (sig + kk)
         if i < L - 2:
-            B2 = _planck_row(c1, lam, temps_ref[:, l + 1][:, None])
+            B2 = _planck_row(c1, xrow, temps_ref[:, l + 1][:, None])
             F2d = fd_ref[:, l + 1, :]
         else:
             B2 = B1                           # T2 = T[-1] at the top
@@ -171,9 +176,13 @@ def _emit_kernel(*refs, L, fused):
             fu_out[:, l + 1, :] = jnp.where(   # top z never stored
                 done, fu_ref[:, l + 1, :], z)
         fd_out[:, l, :] = jnp.where(done, fd_ref[:, l, :], F1d)
-        sums_ref[:, 0, i] = jnp.sum(z * tw, axis=1)
+        # this step's incoming-flux quadrature IS the previous step's
+        # outgoing one (u == previous z) — reuse instead of re-reducing
+        su = jnp.sum(u * tw, axis=1) if sz is None else sz
+        sz = jnp.sum(z * tw, axis=1)
+        sums_ref[:, 0, i] = sz
         sums_ref[:, 1, i] = jnp.sum(F2d * tw, axis=1)
-        sums_ref[:, 2, i] = jnp.sum(u * tw, axis=1)
+        sums_ref[:, 2, i] = su
         sums_ref[:, 3, i] = jnp.sum(F1d * tw, axis=1)
         B1 = B2
 
@@ -185,18 +194,20 @@ def _absorb_kernel(*refs, L, fused):
      _ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
+    xrow = const.hc_over_k / lam
     tw = tw_ref[0, :][None, :]
 
     fu_out[:, 0, :] = fu_ref[:, 0, :]
     fd_out[:, L - 1, :] = fd_ref[:, L - 1, :]
 
     d = fd_ref[:, L - 1, :]                   # F_2_down carry
-    B2 = _planck_row(c1, lam, temps_ref[:, L - 1][:, None])
+    B2 = _planck_row(c1, xrow, temps_ref[:, L - 1][:, None])
+    sd = None
     for i in range(L - 2, -1, -1):
         kk = k_row(i)
         dtau = kk * dtf_ref[0, i]
         om = sig / (sig + kk)
-        B1 = _planck_row(c1, lam, temps_ref[:, i][:, None])
+        B1 = _planck_row(c1, xrow, temps_ref[:, i][:, None])
         cp = two_stream_couplers(dtau, om, B1, B2, g_0=0.0,
                                  expm1=expm1_series)
         F1u = fu_ref[:, i, :]                 # stale upward flux
@@ -205,10 +216,13 @@ def _absorb_kernel(*refs, L, fused):
         F2u = cp.a * F1u - cp.b * d_next + cp.s_up
         fd_out[:, i, :] = jnp.where(done, fd_ref[:, i, :], d)
         fu_out[:, i + 1, :] = jnp.where(done, fu_ref[:, i + 1, :], F2u)
+        # d_next == previous step's d: reuse its quadrature
+        s_dn = jnp.sum(d_next * tw, axis=1) if sd is None else sd
+        sd = jnp.sum(d * tw, axis=1)
         sums_ref[:, 0, i] = jnp.sum(F2u * tw, axis=1)
-        sums_ref[:, 1, i] = jnp.sum(d_next * tw, axis=1)
+        sums_ref[:, 1, i] = s_dn
         sums_ref[:, 2, i] = jnp.sum(F1u * tw, axis=1)
-        sums_ref[:, 3, i] = jnp.sum(d * tw, axis=1)
+        sums_ref[:, 3, i] = sd
         B2 = B1
 
 

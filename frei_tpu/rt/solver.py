@@ -81,6 +81,9 @@ class SolverConfig(NamedTuple):
     # across this axis before the temperature update (the one
     # cross-bin collective of the scheme, riding ICI).
     bins_axis: str = ""
+    # Columns per Pallas grid instance for the fused sweep kernels
+    # (VMEM working set scales with block_columns * L * W).
+    block_columns: int = 8
 
 
 class RTConstants(NamedTuple):
@@ -327,10 +330,12 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         sc = make_sweep_consts(consts, params)
         emit = partial(emit_sweep_pallas, sc=sc,
                        pressures=consts.pressures, params=params,
-                       interpret=interp, bins_axis=cfg.bins_axis)
+                       interpret=interp, bins_axis=cfg.bins_axis,
+                       block_columns=cfg.block_columns)
         absorb = partial(absorb_sweep_pallas, sc=sc,
                          pressures=consts.pressures, params=params,
-                         interpret=interp, bins_axis=cfg.bins_axis)
+                         interpret=interp, bins_axis=cfg.bins_axis,
+                         block_columns=cfg.block_columns)
         # When the kappa model factors over the fixed layer grid
         # (attribute attached by the Grid / ensemble builders), hand
         # the kernels the T-interp weight rows + layer tables instead

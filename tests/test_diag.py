@@ -99,6 +99,7 @@ def test_checkpoint_roundtrip(solved_grid, tmp_path):
     assert np.allclose(g2.init_temperatures, state["final_temps"])
 
 
+@pytest.mark.slow
 def test_irradiated_equilibrium_dashboard_end_to_end():
     """BASELINE config 4: irradiated atmosphere with equilibrium
     chemistry in the loop, multi-step RC iteration, and the full

@@ -46,7 +46,16 @@ def test_docs_exist():
     assert DOCS, "docs/ has no markdown pages"
 
 
-@pytest.mark.parametrize("doc", DOCS, ids=lambda p: p.name)
+#: docs whose executable blocks run multi-minute solves / chemistry
+#: table builds — marked slow so the default CI lane stays fast
+_SLOW_DOCS = {"quickstart.md", "chemistry.md"}
+
+
+@pytest.mark.parametrize(
+    "doc",
+    [pytest.param(p, marks=pytest.mark.slow) if p.name in _SLOW_DOCS
+     else p for p in DOCS],
+    ids=lambda p: p.name)
 def test_doc_executes(doc, tmp_path, monkeypatch):
     blocks = extract_blocks(doc.read_text())
     runnable = [b for b in blocks if not b[1]]

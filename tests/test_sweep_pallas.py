@@ -73,10 +73,15 @@ def test_sweep_kernel_matches_xla(setup, direction):
     # block_columns=2 with B=5 also exercises the padding path
     out = pal(T, Fu, Fd, K, sc, consts.pressures, params,
               block_columns=2, interpret=True)
+    # rtol 1e-7 (not 1e-9): the kernel hoists the Planck argument
+    # (xrow * 1/T vs hc/(lam T)) and uses the g0-specialized coupler
+    # form — equal in real arithmetic (test_twostream), ~ulp-level
+    # reordering in float64, slightly amplified through the adaptive
+    # timestep in dT
     for name, a, b in zip(["F_up", "F_down", "temps", "dT"],
                           [ref.F_up, ref.F_down, ref.temps, ref.dT], out):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-9,
+            np.asarray(a), np.asarray(b), rtol=1e-7,
             atol=1e-9 * float(np.abs(np.asarray(a)).max()),
             err_msg=f"{direction} {name}")
 
@@ -170,6 +175,7 @@ def test_grid_emission_spectra_matches_per_column(setup):
     assert grid.last_metrics.columns == B
 
 
+@pytest.mark.slow
 def test_equilibrium_chemistry_with_pallas_engine():
     """FastChem-equivalent chemistry composes with the fused engine:
     xla and pallas-interpret trajectories agree, and kappa varies
@@ -199,6 +205,7 @@ def test_equilibrium_chemistry_with_pallas_engine():
     assert np.ptp(col / col.mean()) > 1e-3  # T-dependent abundances
 
 
+@pytest.mark.slow
 def test_multispecies_pipeline_with_fused_kernels(tmp_path):
     """Full multi-species path: three synthetic stores -> resort-rebin
     -> stacked tables -> equilibrium chemistry -> batched solve with

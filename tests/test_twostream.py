@@ -132,3 +132,30 @@ def test_couplers_energy_conservation_no_scattering():
     T = np.exp(-2 * 0.7)
     np.testing.assert_allclose(float(cp.a), T, rtol=1e-10)
     np.testing.assert_allclose(float(cp.b), 0.0, atol=1e-10)
+
+
+def test_g0_specialized_couplers_match_general():
+    """``two_stream_couplers_g0`` (the TPU-kernel-shaped variant:
+    rsqrt-merged, divide-reduced) equals the general form at g_0 = 0 in
+    float64 to roundoff of the flux scale (the ``b`` coupler's tiny
+    values carry relative cancellation noise; the absolute effect on
+    fluxes is at eps of pi*B)."""
+    from frei_tpu.ops.twostream import (expm1_series,
+                                        two_stream_couplers_g0)
+    rng = np.random.RandomState(3)
+    n = 5000
+    dtau = jnp.asarray(10.0 ** rng.uniform(-8, 3, n))
+    om = jnp.asarray(10.0 ** rng.uniform(-8, np.log10(0.5), n))
+    B1 = jnp.asarray(10.0 ** rng.uniform(5, 13, n))
+    B2 = B1 * jnp.asarray(rng.uniform(0.5, 1.5, n))
+    a = two_stream_couplers(dtau, om, B1, B2, 0.0, expm1=expm1_series)
+    b = two_stream_couplers_g0(dtau, om, B1, B2, expm1=expm1_series)
+    np.testing.assert_allclose(np.asarray(b.a), np.asarray(a.a),
+                               rtol=1e-12)
+    piB = np.pi * np.asarray(B1)
+    for f in ("s_up", "s_down"):
+        err = np.abs(np.asarray(getattr(b, f))
+                     - np.asarray(getattr(a, f))) / piB
+        assert err.max() < 1e-13, (f, err.max())
+    err_b = np.abs(np.asarray(b.b) - np.asarray(a.b))
+    assert err_b.max() < 1e-12
