@@ -25,6 +25,7 @@ from .opacity.tables import (OpacityStack, kappa_from_stack,
                              load_example_opacity, make_opacity_stack)
 from .rt.physics import PhysicsParams
 from .rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
+from .rt.standalone import StandaloneResult, absorb, emit
 from .rt.sweeps import absorb_sweep, emit_sweep
 from .stellar.irradiation import b_star, f_toa
 
@@ -38,6 +39,7 @@ __all__ = [
     "kappa_from_stack",
     "PhysicsParams", "SolverConfig", "RTConstants", "RTResult",
     "solve_rc", "emit_sweep", "absorb_sweep",
+    "emit", "absorb", "StandaloneResult",
     "f_toa", "b_star",
 ]
 

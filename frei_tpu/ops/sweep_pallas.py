@@ -47,8 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import constants as const
 from ..rt import physics
 from ..rt.physics import PhysicsParams
-from .twostream import (expm1_series, two_stream_couplers,
-                        two_stream_couplers_g0)
+from .twostream import expm1_series, two_stream_couplers_g0
 
 __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
            "absorb_sweep_pallas"]
@@ -120,12 +119,19 @@ def _unpack(refs, fused):
     done = done_ref[:, :] > 0.0                       # (bc, 1)
 
     if fused:
+        # ohs arrives layer-major (L, bc, K): all layers' kappa rows
+        # contract in ONE batched MXU dispatch instead of L small
+        # (bc, K) x (K, W) dots (Mosaic requires the batch dims in
+        # matching positions, hence the layer-major layout); k_total
+        # includes the scattering term (`opacity.py:265-268`)
+        kk_all = jax.lax.dot_general(
+            ohs_ref[:], tab_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=tab_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST)      # (L, bc, W)
+
         def k_row(l):
-            # per-layer T-interp contraction on the MXU; k_total
-            # includes the scattering term (`opacity.py:265-268`)
-            return jnp.dot(ohs_ref[:, l, :], tab_ref[l],
-                           preferred_element_type=tab_ref.dtype,
-                           precision=jax.lax.Precision.HIGHEST) + sig
+            return kk_all[l] + sig
     else:
         def k_row(l):
             return k_ref[:, l, :]
@@ -167,8 +173,8 @@ def _emit_kernel(*refs, L, fused):
         else:
             B2 = B1                           # T2 = T[-1] at the top
             F2d = jnp.broadcast_to(ftoa_ref[0, :][None, :], z.shape)
-        cp = two_stream_couplers(dtau, om, B1, B2, g_0=0.0,
-                                 expm1=expm1_series)
+        cp = two_stream_couplers_g0(dtau, om, B1, B2,
+                                    expm1=expm1_series)
         u = z
         z = cp.a * u + (-cp.b * F2d + cp.s_up)
         F1d = cp.a * F2d - cp.b * u + cp.s_down
@@ -208,8 +214,8 @@ def _absorb_kernel(*refs, L, fused):
         dtau = kk * dtf_ref[0, i]
         om = sig / (sig + kk)
         B1 = _planck_row(c1, xrow, temps_ref[:, i][:, None])
-        cp = two_stream_couplers(dtau, om, B1, B2, g_0=0.0,
-                                 expm1=expm1_series)
+        cp = two_stream_couplers_g0(dtau, om, B1, B2,
+                                    expm1=expm1_series)
         F1u = fu_ref[:, i, :]                 # stale upward flux
         d_next = d
         d = cp.a * d_next + (-cp.b * F1u + cp.s_down)
@@ -246,13 +252,16 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
     if fused:
         ohs, tab = kappa
         K = ohs.shape[-1]
+        # layer-major layout for the kernel's batched kappa dot
+        ohs = jnp.moveaxis(ohs, 0, 1)                 # (L, B, K)
     if pad:
         temps = jnp.concatenate([temps, temps[-1:].repeat(pad, 0)])
         F_up = jnp.concatenate([F_up, F_up[-1:].repeat(pad, 0)])
         F_down = jnp.concatenate([F_down, F_down[-1:].repeat(pad, 0)])
         done_col = jnp.concatenate([done_col, done_col[-1:].repeat(pad, 0)])
         if fused:
-            ohs = jnp.concatenate([ohs, ohs[-1:].repeat(pad, 0)])
+            ohs = jnp.concatenate(
+                [ohs, ohs[:, -1:].repeat(pad, 1)], axis=1)
         else:
             kappa = jnp.concatenate([kappa, kappa[-1:].repeat(pad, 0)])
     Bp = B + pad
@@ -263,7 +272,7 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
                    memory_space=pltpu.VMEM)
     if fused:
         kappa_specs = [
-            pl.BlockSpec((bc, L, K), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, bc, K), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, K, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

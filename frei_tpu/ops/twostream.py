@@ -75,17 +75,26 @@ def expm1_series(x):
     ``expm1``): a 9-term Horner series for |x| < 0.5 (relative error
     ~3e-10, below float32 roundoff), ``exp(x) - 1`` otherwise (safe —
     no catastrophic cancellation once |x| >= 0.5).  Used by the Pallas
-    sweep kernels; the XLA path keeps ``jnp.expm1``."""
+    sweep kernels; the XLA path keeps ``jnp.expm1``.
+
+    The Horner steps multiply by precomputed reciprocal constants
+    instead of dividing: neither XLA nor Mosaic folds ``x / 9.0`` into
+    a multiply on its own, and on the TPU VPU a divide costs several
+    multiplies — this function sits twice in the per-layer inner loop
+    of the sweep kernels.  The reciprocals are exact double-precision
+    constants; the induced per-term perturbation (<= 0.5 ulp of the
+    coefficient) is far below the series' own truncation error.
+    """
     small = jnp.abs(x) < 0.5
     xs = jnp.where(small, x, 0.0)
-    p = xs / 9.0 + 1.0
-    p = p * xs / 8.0 + 1.0
-    p = p * xs / 7.0 + 1.0
-    p = p * xs / 6.0 + 1.0
-    p = p * xs / 5.0 + 1.0
-    p = p * xs / 4.0 + 1.0
-    p = p * xs / 3.0 + 1.0
-    p = p * xs / 2.0 + 1.0
+    p = xs * (1.0 / 9.0) + 1.0
+    p = p * xs * (1.0 / 8.0) + 1.0
+    p = p * xs * (1.0 / 7.0) + 1.0
+    p = p * xs * (1.0 / 6.0) + 1.0
+    p = p * xs * (1.0 / 5.0) + 1.0
+    p = p * xs * (1.0 / 4.0) + 1.0
+    p = p * xs * (1.0 / 3.0) + 1.0
+    p = p * xs * (1.0 / 2.0) + 1.0
     return jnp.where(small, xs * p, jnp.exp(x) - 1.0)
 
 

@@ -157,3 +157,67 @@ def test_full_golden_config_trajectory_matches_oracle():
     spec, temps, *_ = grid.emission_spectrum(n_timesteps=25)
     np.testing.assert_allclose(spec.flux_cgs, want_flux, rtol=1e-9)
     np.testing.assert_allclose(temps, want_T, rtol=1e-9)
+
+
+def test_standalone_emit_absorb_reference_conventions():
+    """Standalone `emit` / `absorb` reproduce the reference's public
+    call conventions (`/root/reference/frei/twostream.py:290-293,
+    336-339,465-475`): self-seeded flux state (F_down[-1] = F_TOA;
+    absorb also F_up[0] = pi B(T0)), own timestep loop stopping at
+    max|dT| < convergence_thresh (default 10 K), and equivalence with
+    a manual loop of single sweeps from the same seeds."""
+    import jax.numpy as jnp
+
+    from frei_tpu import Grid, Planet, emit, absorb, load_example_opacity
+    from frei_tpu.ops.planck import bb_flux
+    from frei_tpu.rt.sweeps import absorb_sweep, emit_sweep
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=64, n_layers=10, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    consts, params = grid._consts, planet.physics_params()
+    T0 = jnp.asarray(grid.rt_grid.init_temperatures)
+
+    r = absorb(T0, consts, params, grid._kappa_fn, n_timesteps=4,
+               convergence_thresh=0.0)   # force all 4 steps
+    assert int(r.n_history) == 5
+
+    # manual replication from the reference's self-seeds
+    L, W = 10, 64
+    Fu = jnp.zeros((L, W)).at[0].set(bb_flux(T0[0], consts.lam_cm))
+    Fd = jnp.zeros((L, W)).at[-1].set(consts.F_toa)
+    temps = T0
+    kw = dict(sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
+              lam_cm=consts.lam_cm, trapz_w=consts.trapz_w,
+              pressures=consts.pressures, params=params)
+    for _ in range(4):
+        s = absorb_sweep(temps, Fu, Fd, grid._kappa_fn(
+            temps, consts.pressures), **kw)
+        temps, Fu, Fd = s.temps, s.F_up, s.F_down
+    np.testing.assert_allclose(np.asarray(r.final_temps),
+                               np.asarray(temps), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r.F_down),
+                               np.asarray(Fd), rtol=1e-12)
+
+    # emit: seeds F_down[-1] only; convergence stop fires early at a
+    # loose threshold
+    re_full = emit(T0, consts, params, grid._kappa_fn, n_timesteps=50,
+                   convergence_thresh=1e9)
+    assert int(re_full.n_history) == 2          # one step "converges"
+    re2 = emit(T0, consts, params, grid._kappa_fn, n_timesteps=3,
+               convergence_thresh=0.0)
+    assert int(re2.n_history) == 4
+    assert np.all(np.isfinite(np.asarray(re2.F_up)))
+    # the default-seed state: manual emit_sweep from zeros+F_TOA seed
+    Fu0 = jnp.zeros((L, W))
+    Fd0 = jnp.zeros((L, W)).at[-1].set(consts.F_toa)
+    s1 = emit_sweep(T0, Fu0, Fd0, grid._kappa_fn(T0, consts.pressures),
+                    **kw)
+    re1 = emit(T0, consts, params, grid._kappa_fn, n_timesteps=1,
+               convergence_thresh=0.0)
+    np.testing.assert_allclose(np.asarray(re1.final_temps),
+                               np.asarray(s1.temps), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(re1.dtaus),
+                               np.asarray(s1.dtaus), rtol=1e-12)

@@ -54,13 +54,13 @@ def main():
                        convergence_dT=0.0, engine="pallas")
 
     real_planck = sp._planck_row
-    real_couplers = sp.two_stream_couplers
+    real_couplers = sp.two_stream_couplers_g0
     real_unpack = sp._unpack
 
     def fake_planck(c1, lam, T_col):
         return c1 * T_col
 
-    def fake_couplers(dtau, om, B1, B2, g_0=0.0, expm1=None):
+    def fake_couplers(dtau, om, B1, B2, expm1=None):
         t = 1.0 - dtau
         return TwoStreamCouplers(a=t, b=om * 0.1,
                                  s_up=B1 * dtau, s_down=B2 * dtau)
@@ -79,10 +79,10 @@ def main():
     variants = {
         "full": {},
         "no-planck": {"_planck_row": fake_planck},
-        "no-coupler": {"two_stream_couplers": fake_couplers},
+        "no-coupler": {"two_stream_couplers_g0": fake_couplers},
         "no-kappa": {"_unpack": unpack_nokappa},
         "no-planck+coupler": {"_planck_row": fake_planck,
-                              "two_stream_couplers": fake_couplers},
+                              "two_stream_couplers_g0": fake_couplers},
     }
 
     total = N_COLUMNS * N_BINS * N_ITERS
@@ -104,7 +104,7 @@ def main():
             print(f"{name:20s} FAILED {str(e)[:110]}")
         finally:
             sp._planck_row = real_planck
-            sp.two_stream_couplers = real_couplers
+            sp.two_stream_couplers_g0 = real_couplers
             sp._unpack = real_unpack
 
 
