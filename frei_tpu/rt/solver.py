@@ -64,16 +64,17 @@ class SolverConfig(NamedTuple):
     # Sweep engine for the BATCHED solver (`solve_rc_batched`):
     # "xla" = vmapped rt.sweeps; "pallas" = the fused VMEM-resident
     # sweep kernels (ops.sweep_pallas; TPU only — ~2x over xla);
-    # "pallas-iteration" = the whole-iteration kernel
-    # (ops.iteration_pallas; chemistry + kappa in-kernel — measured
-    # SLOWER than "pallas" on v5e because of per-layer small-matrix
-    # MXU dispatches, kept as an opt-in alternative); append
-    # "-interpret" to either to run through the Pallas interpreter
-    # (CPU cross-checking).  "auto" = pallas on TPU backends, xla
-    # elsewhere.  Engines agree to float32 summation-order noise (the
-    # bolometric quadrature reduces in a different order);
-    # trajectories and goldens are cross-checked in
-    # tests/test_sweep_pallas.py.
+    # "pallas-iteration" = one whole-iteration kernel per RC step
+    # (ops.iteration_pallas; chemistry + kappa in-kernel);
+    # "pallas-loop" = the ENTIRE fixed-horizon RC loop in one kernel
+    # pass (flux slabs cross HBM once per solve instead of once per
+    # sweep — the fastest single-chip engine; needs a layer-factored
+    # kappa model and no bins sharding).  Append "-interpret" to any
+    # to run through the Pallas interpreter (CPU cross-checking).
+    # "auto" = pallas on TPU backends, xla elsewhere.  Engines agree
+    # to float32 summation-order noise (the bolometric quadrature
+    # reduces in a different order); trajectories and goldens are
+    # cross-checked in tests/test_sweep_pallas.py.
     engine: str = "auto"
     # Name of a shard_map bins mesh axis, when the batched solve runs
     # inside shard_map with the spectral grid sharded: the Pallas
@@ -346,7 +347,18 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         # included) as ONE kernel — needs the raw layer tables plus
         # layer-factored chemistry (ops.iteration_pallas).
         iteration = None
+        use_loop = engine.startswith("pallas-loop")
         hook = getattr(kappa_all, "iteration_hook", None)
+        if use_loop:
+            if cfg.bins_axis:
+                raise ValueError(
+                    "engine 'pallas-loop' does not support a "
+                    "bins-sharded mesh (cfg.bins_axis); use engine "
+                    "'pallas'")
+            if hook is None:
+                raise ValueError(
+                    "engine 'pallas-loop' needs a layer-factored "
+                    "kappa model (kappa_all.iteration_hook)")
         if use_iteration:
             if cfg.bins_axis:
                 # the whole-iteration kernel computes the dT epilogue
@@ -479,6 +491,29 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     else:
         F_up0 = jnp.asarray(init_fluxes[0], dtype)
         F_down0 = jnp.asarray(init_fluxes[1], dtype)
+
+    if engine.startswith("pallas-loop"):
+        # the WHOLE RC loop in one kernel pass (flux slabs DMA'd once
+        # per solve instead of once per sweep) — ops.iteration_pallas
+        from ..ops.iteration_pallas import (make_iteration_pack,
+                                            rc_loop_pallas)
+        pack = make_iteration_pack(consts, params, *hook)
+        (tfin, Fu_l, Fd_l, hist, maxdT, n_iters, conv) = rc_loop_pallas(
+            init_temps, F_up0, F_down0, pack, params,
+            n_timesteps=cfg.n_timesteps,
+            n_zero_crossings=cfg.n_zero_crossings,
+            convergence_dT=cfg.convergence_dT,
+            block_columns=cfg.block_columns, interpret=interp)
+        Fu_f, Fd_f, T_f, _ = emit(tfin, Fu_l, Fd_l, kap_fn(tfin))
+        dtaus = emit_dtaus(kappa_all(tfin, consts.pressures),
+                           consts.pressures, params)
+        return RTResult(
+            flux=Fu_f[:, -1], final_temps=T_f, temp_history=hist,
+            n_history=2 * n_iters, dtaus=dtaus, F_up=Fu_f,
+            F_down=Fd_f, n_iterations=n_iters, converged=conv,
+            max_dT_history=maxdT, loop_temps=tfin, loop_F_up=Fu_l,
+            loop_F_down=Fd_l)
+
     carry0 = (
         jnp.asarray(0, jnp.int32),
         jnp.zeros((B,), jnp.int32),

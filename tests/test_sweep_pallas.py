@@ -107,7 +107,8 @@ def test_batched_solver_xla_engine_equals_vmap(setup):
 
 
 @pytest.mark.parametrize(
-    "engine", ["pallas-interpret", "pallas-iteration-interpret"])
+    "engine", ["pallas-interpret", "pallas-iteration-interpret",
+               "pallas-loop-interpret"])
 def test_batched_solver_pallas_engine_trajectory(setup, engine):
     planet, grid, params, T, *_ = setup
     consts = grid._consts
@@ -237,7 +238,8 @@ def test_multispecies_pipeline_with_fused_kernels(tmp_path):
     # its mixing ratios differ from FastChemJAX._vmr_from_table's
     # float32 bilinear at float32 roundoff (~1e-7 relative kappa),
     # hence the looser flux tolerance
-    for engine in ("pallas-interpret", "pallas-iteration-interpret"):
+    for engine in ("pallas-interpret", "pallas-iteration-interpret",
+                   "pallas-loop-interpret"):
         rp = solve_rc_batched(T0, grid._consts, planet.physics_params(),
                               grid._kappa_fn,
                               SolverConfig(n_timesteps=3, engine=engine))
