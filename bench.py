@@ -108,8 +108,9 @@ def bench_oracle():
         F_toa=f_toa_np(lam_cm, planet.T_star, planet.a_rstar),
         g=planet.g, m_bar=planet.m_bar, alpha=planet.alpha)
     T0 = np.asarray(grid.rt_grid.init_temperatures)
+    mini.emission_spectrum(T0, n_timesteps=1)      # warm caches
     walls = []
-    for _ in range(3):   # best-of-3: host timing noise is +-30%
+    for _ in range(7):   # best-of-7: host timing noise is +-30%
         t0 = time.perf_counter()
         mini.emission_spectrum(T0, n_timesteps=N_ITERS,
                                n_zero_crossings=10 ** 6,
