@@ -250,3 +250,39 @@ def test_multispecies_pipeline_with_fused_kernels(tmp_path):
                                    np.asarray(rp.final_temps),
                                    rtol=1e-5, err_msg=engine)
     assert np.all(np.isfinite(np.asarray(rx.flux)))
+
+
+def test_loop_engine_resume_and_early_convergence(setup):
+    """pallas-loop engine edge semantics: warm-start via init_fluxes
+    continues the trajectory exactly (checkpoint/resume contract), and
+    early-converged columns freeze identically to the xla engine."""
+    planet, grid, params, T, *_ = setup
+    consts = grid._consts
+
+    def cfg(n, engine):
+        return SolverConfig(n_timesteps=n, n_zero_crossings=10 ** 6,
+                            convergence_dT=0.0, engine=engine)
+    args = (consts, planet.physics_params(), grid._kappa_fn)
+    full = solve_rc_batched(T, *args, cfg(4, "pallas-loop-interpret"))
+    part = solve_rc_batched(T, *args, cfg(2, "pallas-loop-interpret"))
+    resumed = solve_rc_batched(
+        part.loop_temps, *args, cfg(2, "pallas-loop-interpret"),
+        init_fluxes=(part.loop_F_up, part.loop_F_down))
+    np.testing.assert_array_equal(np.asarray(full.flux),
+                                  np.asarray(resumed.flux))
+    np.testing.assert_array_equal(np.asarray(full.final_temps),
+                                  np.asarray(resumed.final_temps))
+
+    # convergence path: loose threshold converges everything quickly —
+    # frozen-column counters must match the xla engine exactly
+    loose = SolverConfig(n_timesteps=6, n_zero_crossings=2,
+                         convergence_dT=50.0, engine="xla")
+    rx = solve_rc_batched(T, *args, loose)
+    rl = solve_rc_batched(
+        T, *args, loose._replace(engine="pallas-loop-interpret"))
+    np.testing.assert_array_equal(np.asarray(rx.n_iterations),
+                                  np.asarray(rl.n_iterations))
+    np.testing.assert_array_equal(np.asarray(rx.converged),
+                                  np.asarray(rl.converged))
+    np.testing.assert_allclose(np.asarray(rx.final_temps),
+                               np.asarray(rl.final_temps), rtol=1e-8)
