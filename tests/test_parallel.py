@@ -149,3 +149,30 @@ def test_population_rejects_mixed_composition(setup):
     T0 = _ensemble_inputs(grid, 2)
     with pytest.raises(ValueError, match="m_bar"):
         solve_population(jnp.asarray(T0), grid, planets)
+
+
+def test_ensemble_loop_engine_columns_mesh(setup):
+    """The whole-loop kernel engine works under shard_map on a
+    columns-only mesh (it rejects bins-sharded meshes — no in-kernel
+    psum) and matches per-column solves."""
+    planet, grid = setup
+    T0 = _ensemble_inputs(grid, 16)
+    mesh = make_mesh(8, 1)
+    cfg = SolverConfig(n_timesteps=3, engine="pallas-loop-interpret")
+    res = solve_ensemble(jnp.asarray(T0), grid._consts,
+                         planet.physics_params(), grid.opacities,
+                         grid.chemistry, cfg, mesh=mesh)
+    from frei_tpu.rt.solver import solve_rc
+    for c in [0, 9, 15]:
+        one = solve_rc(jnp.asarray(T0[c]), grid._consts,
+                       planet.physics_params(), grid._kappa_fn,
+                       SolverConfig(n_timesteps=3))
+        np.testing.assert_allclose(res.flux[c], one.flux, rtol=1e-7)
+    # bins-sharded mesh must be rejected loudly, not silently wrong
+    with pytest.raises(ValueError, match="pallas-loop"):
+        solve_ensemble(jnp.asarray(T0), grid._consts,
+                       planet.physics_params(), grid.opacities,
+                       grid.chemistry,
+                       SolverConfig(n_timesteps=2,
+                                    engine="pallas-loop-interpret"),
+                       mesh=make_mesh(4, 2))
