@@ -306,10 +306,13 @@ def _loop_kernel(scal_ref, temps_ref, fu_ref, fd_ref,
 
     Semantics match ``rt.solver.solve_rc_batched`` exactly: per-column
     freeze via masked writes, uniform history rows ``2 it`` /
-    ``2 it + 1``, per-column iteration counters; the early exit is
-    per-BLOCK (a block with every column converged stops iterating —
-    at least as early as the solver's global all-columns exit, with
-    identical results since frozen columns never change).
+    ``2 it + 1``, per-column iteration counters.  There is NO early
+    exit: the loop is a fixed-trip ``fori_loop`` over ``n_timesteps``
+    and a fully-converged block keeps iterating as masked no-ops
+    (results are identical to the two-kernel engine's global early
+    exit because frozen columns never change; the wasted trips only
+    matter when every column of a block converges far before the
+    horizon).
     """
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
