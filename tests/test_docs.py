@@ -48,7 +48,7 @@ def test_docs_exist():
 
 #: docs whose executable blocks run multi-minute solves / chemistry
 #: table builds — marked slow so the default CI lane stays fast
-_SLOW_DOCS = {"quickstart.md", "chemistry.md"}
+_SLOW_DOCS = {"quickstart.md", "chemistry.md", "scaling.md"}
 
 
 @pytest.mark.parametrize(
