@@ -36,7 +36,7 @@ N_LAYERS = 30
 N_ITERS = 20
 
 
-def _solver_inputs():
+def _solver_inputs(chemistry=None):
     import jax.numpy as jnp
 
     from frei_tpu import Grid, Planet, load_example_opacity
@@ -47,7 +47,8 @@ def _solver_inputs():
                 dtype=jnp.float32)
     grid.load_opacities(
         opacities=load_example_opacity(grid, scale_factor=1.0,
-                                       dtype=jnp.float32))
+                                       dtype=jnp.float32),
+        chemistry=chemistry)
     # Fixed-horizon config: convergence exits disabled so every run
     # does identical work.
     cfg = SolverConfig(n_timesteps=N_ITERS, n_zero_crossings=10 ** 6,
@@ -58,13 +59,13 @@ def _solver_inputs():
     return planet, grid, cfg, T0
 
 
-def bench_tpu():
+def bench_tpu(chemistry=None):
     import jax
     import jax.numpy as jnp
 
     from frei_tpu.rt.solver import solve_rc_batched
 
-    planet, grid, cfg, T0 = _solver_inputs()
+    planet, grid, cfg, T0 = _solver_inputs(chemistry=chemistry)
     fn = partial(
         solve_rc_batched, consts=grid._consts,
         params=planet.physics_params(), kappa_all=grid._kappa_fn,
@@ -120,7 +121,83 @@ def bench_oracle():
     return N_BINS / wall, wall
 
 
+def bench_population():
+    """Per-planet population variant (BASELINE config 5): same shape,
+    every column its own irradiation / gravity / mixing-length —
+    routed through the same fused Pallas engines (per-column F_toa
+    blocks + 1/g broadcast, ops/sweep_pallas.py).  The per-planet
+    constants are built once (as ``solve_population`` does) so the
+    timed region is the device solve, like the headline bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from frei_tpu.rt.physics import PhysicsParams
+    from frei_tpu.rt.solver import solve_rc_batched
+    from frei_tpu.stellar.irradiation import f_toa_np
+
+    planet, grid, cfg, T0 = _solver_inputs()
+    rng = np.random.RandomState(1)
+    a_rstar = rng.uniform(4.0, 9.0, N_COLUMNS)
+    g_si = rng.uniform(10.0, 50.0, N_COLUMNS)        # [m/s^2]
+    t_star = rng.uniform(4500.0, 6300.0, N_COLUMNS)
+    alpha = rng.uniform(0.8, 1.5, N_COLUMNS)
+    lam_cm = np.asarray(grid.rt_grid.lam_cm)
+    f_toa = jnp.asarray(
+        np.stack([f_toa_np(lam_cm, t, a)
+                  for t, a in zip(t_star, a_rstar)]), jnp.float32)
+    params = PhysicsParams(
+        g=jnp.asarray(g_si * 100.0, jnp.float32),    # CGS
+        m_bar=jnp.asarray(planet.m_bar, jnp.float32),
+        alpha=jnp.asarray(alpha, jnp.float32), n_dof=5)
+    fn = partial(
+        solve_rc_batched, consts=grid._consts._replace(F_toa=f_toa),
+        params=params, kappa_all=grid._kappa_fn, cfg=cfg)
+    T0 = jnp.asarray(T0, jnp.float32)
+
+    res = fn(T0)
+    jax.block_until_ready(res.flux)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = fn(T0)
+        jax.block_until_ready(res.flux)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    assert np.all(np.isfinite(np.asarray(res.flux))), "non-finite flux"
+    return N_COLUMNS * N_BINS / wall, wall
+
+
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "--chemistry":
+        # BASELINE config 4: equilibrium chemistry (table mode) in the
+        # RC loop instead of the constant-VMR mock.
+        throughput, wall = bench_tpu(chemistry="equilibrium")
+        print(json.dumps({
+            "metric": "columns x spectral-bins per second per chip "
+                      "(R~500, 30 layers, 20 RC iterations, float32, "
+                      "equilibrium chemistry in the loop)",
+            "value": round(throughput, 1),
+            "unit": "columns*bins/s",
+            "details": {"batch_columns": N_COLUMNS,
+                        "wall_s": round(wall, 4),
+                        "chemistry": "equilibrium (table mode)"},
+        }))
+        return
+    if mode == "--population":
+        # BASELINE config 5 shape: per-planet irradiation / gravity /
+        # alpha through the fused engines.
+        throughput, wall = bench_population()
+        print(json.dumps({
+            "metric": "columns x spectral-bins per second per chip "
+                      "(R~500, 30 layers, 20 RC iterations, float32, "
+                      "per-planet F_toa/g/alpha population)",
+            "value": round(throughput, 1),
+            "unit": "columns*bins/s",
+            "details": {"batch_columns": N_COLUMNS,
+                        "wall_s": round(wall, 4)},
+        }))
+        return
     throughput, wall = bench_tpu()
     base_throughput, base_wall = bench_oracle()
     print(json.dumps({

@@ -36,6 +36,7 @@ Mosaic masks the padded lanes (reductions included).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -50,23 +51,64 @@ from ..rt.physics import PhysicsParams
 from .twostream import expm1_series, two_stream_couplers_g0
 
 __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
-           "absorb_sweep_pallas"]
+           "absorb_sweep_pallas", "set_kappa_dot_mode"]
+
+#: In-kernel kappa-contraction lowering variant.  "batched" (default)
+#: is the production path: one layer-batched f32 dot at HIGHEST
+#: precision.  The alternatives exist for the measured lowering
+#: experiment matrix in docs/design-notes.md (whether Mosaic can
+#: engage the MXU for this small-K contraction): "perlayer" = L
+#: un-batched (bc, K) @ (K, W) dots; "padk" = K zero-padded to a
+#: multiple of 128 (numerically exact); "bf16" = single-pass bf16
+#: inputs with f32 accumulation (NOT parity-safe — perf ceiling
+#: datapoint only); "bf16x2" = two-term Dekker split of both operands
+#: into bf16 hi/lo with three single-pass dots (f32-grade accuracy,
+#: drops only the lo*lo term).
+_KAPPA_DOT_MODE = os.environ.get("FREI_KAPPA_DOT", "batched")
+
+
+def set_kappa_dot_mode(mode: str) -> None:
+    """Select the in-kernel kappa-contraction lowering (see
+    ``_KAPPA_DOT_MODE``).  Takes effect at the next trace; callers
+    must clear jit caches (or use fresh configs) between modes."""
+    global _KAPPA_DOT_MODE
+    if mode not in ("batched", "perlayer", "padk", "bf16", "bf16x2"):
+        raise ValueError(f"unknown kappa dot mode {mode!r}")
+    _KAPPA_DOT_MODE = mode
 
 
 class SweepConsts(NamedTuple):
     """Device-resident per-configuration constants for the fused
-    sweep kernels (all rows shaped (1, N) for TPU layout)."""
+    sweep kernels (all rows shaped (1, N) for TPU layout).
 
-    dtf_emit: jnp.ndarray    # (1, L-1) (p1 - p2) / g per swept layer, emit
+    Per-planet population solves (reference `core.py:48-62`: F_TOA is
+    the only per-planet spectral input; gravity enters through the
+    optical-depth factor and the timestep physics) use the per-column
+    forms: ``f_toa`` (B, W) and ``inv_g`` (B, 1).  With per-column
+    gravity the dtf rows hold the bare pressure differences and the
+    kernels apply ``1/g`` as a (bc, 1) broadcast multiply — a
+    per-column (B, L-1) dtf matrix would need a lane extraction per
+    layer inside the kernel (a Mosaic relayout, measured slow)."""
+
+    dtf_emit: jnp.ndarray    # (1, L-1) (p1 - p2) [/ g] per swept layer
     dtf_absorb: jnp.ndarray  # (1, L-1) same for absorb ordering
     lam: jnp.ndarray         # (1, W) wavelengths [cm]
     sigma: jnp.ndarray       # (1, W) Rayleigh scattering opacity
-    f_toa: jnp.ndarray       # (1, W) top-of-atmosphere flux
+    f_toa: jnp.ndarray       # (1, W) or (B, W) top-of-atmosphere flux
     tw: jnp.ndarray          # (1, W) trapezoid quadrature weights
+    inv_g: jnp.ndarray = None  # (B, 1) per-column 1/g, or None (shared
+    #                            g folded into the dtf rows)
 
 
 def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
-    """Precompute kernel constants from solver ``RTConstants``."""
+    """Precompute kernel constants from solver ``RTConstants``.
+
+    ``params.g`` may be a scalar (shared gravity, folded into the dtf
+    rows exactly like the reference's ``delta_tau``) or a (B,)/(B, 1)
+    per-column array (population mode: dtf rows stay bare pressure
+    differences and ``inv_g`` carries 1/g).  ``consts.F_toa`` may be
+    (W,) shared or (B, W) per-column.
+    """
     p = consts.pressures
     lam = consts.lam_cm
     dtype = lam.dtype
@@ -79,13 +121,25 @@ def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
     p1a = p[:-1]
     p2a = p[1:]
     g = jnp.asarray(params.g, dtype)
+    if g.ndim == 0:
+        dtf_e = ((p1e - p2e) / g)[None, :]
+        dtf_a = ((p1a - p2a) / g)[None, :]
+        inv_g = None
+    else:
+        dtf_e = (p1e - p2e)[None, :]
+        dtf_a = (p1a - p2a)[None, :]
+        inv_g = (1.0 / g.reshape(-1, 1)).astype(dtype)
+    f_toa = consts.F_toa
+    if f_toa.ndim == 1:
+        f_toa = f_toa[None, :]
     return SweepConsts(
-        dtf_emit=((p1e - p2e) / g)[None, :],
-        dtf_absorb=((p1a - p2a) / g)[None, :],
+        dtf_emit=dtf_e,
+        dtf_absorb=dtf_a,
         lam=lam[None, :],
         sigma=consts.sigma_scat[None, :],
-        f_toa=consts.F_toa[None, :],
+        f_toa=f_toa,
         tw=consts.trapz_w[None, :],
+        inv_g=inv_g,
     )
 
 
@@ -99,47 +153,98 @@ def _planck_row(c1, xrow, T_col):
     return c1 / expm1_series(xrow * (1.0 / T_col))
 
 
-def _unpack(refs, fused):
+def _unpack(refs, fused, col_g):
     """Kernel ref unpacking for the two kappa modes: ``fused`` swaps
     the (bc, L, W) opacity slab input for the (bc, L, K) T-interp
     weight rows + the VMEM-resident (L, K, W) layer tables — the
     kappa slab then never exists in HBM at all.  ``done_ref`` carries
     the per-column convergence freeze (> 0 = write old rows back),
     applied in-kernel so the solver never runs a separate
-    (columns, layers, bins) select pass."""
-    if fused:
-        (dtf_ref, done_ref, temps_ref, ohs_ref, tab_ref, fu_ref, fd_ref,
-         lam_ref, sig_ref, ftoa_ref, tw_ref,
-         fu_out, fd_out, sums_ref) = refs
+    (columns, layers, bins) select pass.  ``col_g`` inserts the
+    per-column (bc, 1) 1/g block after ``done_ref`` and turns the
+    per-layer dtau factor into a (bc, 1) broadcast."""
+    refs = list(refs)
+    dtf_ref, done_ref = refs[0], refs[1]
+    rest = refs[2:]
+    if col_g:
+        invg = rest[0][:, :]                          # (bc, 1)
+        rest = rest[1:]
+
+        def dt_fac(i):
+            return dtf_ref[0, i] * invg               # (bc, 1)
     else:
-        (dtf_ref, done_ref, temps_ref, k_ref, fu_ref, fd_ref,
+        def dt_fac(i):
+            return dtf_ref[0, i]                      # scalar
+    if fused:
+        (temps_ref, ohs_ref, tab_ref, fu_ref, fd_ref,
          lam_ref, sig_ref, ftoa_ref, tw_ref,
-         fu_out, fd_out, sums_ref) = refs
+         fu_out, fd_out, sums_ref) = rest
+    else:
+        (temps_ref, k_ref, fu_ref, fd_ref,
+         lam_ref, sig_ref, ftoa_ref, tw_ref,
+         fu_out, fd_out, sums_ref) = rest
     sig = sig_ref[0, :][None, :]
     done = done_ref[:, :] > 0.0                       # (bc, 1)
 
     if fused:
+        mode = _KAPPA_DOT_MODE
         # ohs arrives layer-major (L, bc, K): all layers' kappa rows
-        # contract in ONE batched MXU dispatch instead of L small
+        # contract in ONE batched dispatch instead of L small
         # (bc, K) x (K, W) dots (Mosaic requires the batch dims in
         # matching positions, hence the layer-major layout); k_total
         # includes the scattering term (`opacity.py:265-268`)
-        kk_all = jax.lax.dot_general(
-            ohs_ref[:], tab_ref[:],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=tab_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST)      # (L, bc, W)
+        batched_dn = (((2,), (1,)), ((0,), (0,)))
+        if mode in ("batched", "padk"):
+            # padk: K was zero-padded to a 128 multiple in _run_sweep —
+            # the contraction itself is identical (zeros add nothing)
+            kk_all = jax.lax.dot_general(
+                ohs_ref[:], tab_ref[:],
+                dimension_numbers=batched_dn,
+                preferred_element_type=tab_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST)  # (L, bc, W)
+        elif mode == "bf16":
+            kk_all = jax.lax.dot_general(
+                ohs_ref[:].astype(jnp.bfloat16),
+                tab_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=batched_dn,
+                preferred_element_type=jnp.float32)
+        elif mode == "bf16x2":
+            a = ohs_ref[:]
+            b = tab_ref[:]
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(a.dtype)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(b.dtype)).astype(jnp.bfloat16)
 
-        def k_row(l):
-            return kk_all[l] + sig
+            def d(x, y):
+                return jax.lax.dot_general(
+                    x, y, dimension_numbers=batched_dn,
+                    preferred_element_type=jnp.float32)
+            kk_all = d(ah, bh) + (d(ah, bl) + d(al, bh))
+        elif mode == "perlayer":
+            kk_all = None
+        else:
+            raise ValueError(f"unknown kappa dot mode {mode!r}")
+
+        if kk_all is None:
+            def k_row(l):
+                kk = jax.lax.dot_general(
+                    ohs_ref[l], tab_ref[l],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=tab_ref.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+                return kk + sig
+        else:
+            def k_row(l):
+                return kk_all[l] + sig
     else:
         def k_row(l):
             return k_ref[:, l, :]
-    return (dtf_ref, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref,
+    return (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref,
             sig, ftoa_ref, tw_ref, fu_out, fd_out, sums_ref)
 
 
-def _emit_kernel(*refs, L, fused):
+def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
     """One bottom-to-top emission sweep for a block of columns
     (reference `twostream.py:290-421`, ordering per rt.sweeps).
 
@@ -147,8 +252,9 @@ def _emit_kernel(*refs, L, fused):
     one (bc, W) -> (bc,) quadrature reduction; measured faster than a
     fully slab-vectorized formulation (whose boundary concatenates
     copy whole (bc, L, W) slabs in VMEM)."""
-    (dtf_ref, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
-     ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
+    (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+     ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(
+         refs, fused, col_g)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
     xrow = const.hc_over_k / lam              # hoisted Planck argument
@@ -165,13 +271,16 @@ def _emit_kernel(*refs, L, fused):
     for i in range(L - 1):
         l = i + 1                             # swept layer
         kk = k_row(l)
-        dtau = kk * dtf_ref[0, i]
+        dtau = kk * dt_fac(i)
         om = sig / (sig + kk)
         if i < L - 2:
             B2 = _planck_row(c1, xrow, temps_ref[:, l + 1][:, None])
             F2d = fd_ref[:, l + 1, :]
-        else:
+        elif col_ftoa:
             B2 = B1                           # T2 = T[-1] at the top
+            F2d = ftoa_ref[:, :]              # per-column F_TOA rows
+        else:
+            B2 = B1
             F2d = jnp.broadcast_to(ftoa_ref[0, :][None, :], z.shape)
         cp = two_stream_couplers_g0(dtau, om, B1, B2,
                                     expm1=expm1_series)
@@ -193,11 +302,13 @@ def _emit_kernel(*refs, L, fused):
         B1 = B2
 
 
-def _absorb_kernel(*refs, L, fused):
+def _absorb_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
     """One top-to-bottom absorption sweep for a block of columns
     (reference `twostream.py:424-550`, ordering per rt.sweeps)."""
-    (dtf_ref, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
-     _ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(refs, fused)
+    del col_ftoa  # F_TOA enters absorb only via the F_down state
+    (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+     _ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(
+         refs, fused, col_g)
     lam = lam_ref[0, :][None, :]
     c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
     xrow = const.hc_over_k / lam
@@ -211,7 +322,7 @@ def _absorb_kernel(*refs, L, fused):
     sd = None
     for i in range(L - 2, -1, -1):
         kk = k_row(i)
-        dtau = kk * dtf_ref[0, i]
+        dtau = kk * dt_fac(i)
         om = sig / (sig + kk)
         B1 = _planck_row(c1, xrow, temps_ref[:, i][:, None])
         cp = two_stream_couplers_g0(dtau, om, B1, B2,
@@ -245,28 +356,46 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
     bc = min(block_columns, B)
     pad = (-B) % bc
     dtype = F_up.dtype
+    col_g = sc.inv_g is not None
+    col_ftoa = sc.f_toa.shape[0] > 1
+    inv_g = sc.inv_g
+    f_toa = sc.f_toa
     if done is None:
         done_col = jnp.zeros((B, 1), dtype)
     else:
         done_col = done.astype(dtype)[:, None]
     if fused:
         ohs, tab = kappa
-        K = ohs.shape[-1]
         # layer-major layout for the kernel's batched kappa dot
         ohs = jnp.moveaxis(ohs, 0, 1)                 # (L, B, K)
+        if _KAPPA_DOT_MODE == "padk":
+            Kp = -(-ohs.shape[-1] // 128) * 128
+            ohs = jnp.pad(ohs, ((0, 0), (0, 0),
+                                (0, Kp - ohs.shape[-1])))
+            tab = jnp.pad(tab, ((0, 0), (0, Kp - tab.shape[1]),
+                                (0, 0)))
+        K = ohs.shape[-1]
     if pad:
-        temps = jnp.concatenate([temps, temps[-1:].repeat(pad, 0)])
-        F_up = jnp.concatenate([F_up, F_up[-1:].repeat(pad, 0)])
-        F_down = jnp.concatenate([F_down, F_down[-1:].repeat(pad, 0)])
-        done_col = jnp.concatenate([done_col, done_col[-1:].repeat(pad, 0)])
+        def padrows(x):
+            return jnp.concatenate([x, x[-1:].repeat(pad, 0)])
+        temps = padrows(temps)
+        F_up = padrows(F_up)
+        F_down = padrows(F_down)
+        done_col = padrows(done_col)
+        if col_g:
+            inv_g = padrows(inv_g)
+        if col_ftoa:
+            f_toa = padrows(f_toa)
         if fused:
             ohs = jnp.concatenate(
                 [ohs, ohs[:, -1:].repeat(pad, 1)], axis=1)
         else:
-            kappa = jnp.concatenate([kappa, kappa[-1:].repeat(pad, 0)])
+            kappa = padrows(kappa)
     Bp = B + pad
 
     vec = partial(pl.BlockSpec, (1, W), lambda i: (0, 0),
+                  memory_space=pltpu.VMEM)
+    col = partial(pl.BlockSpec, (bc, 1), lambda i: (i, 0),
                   memory_space=pltpu.VMEM)
     slab = partial(pl.BlockSpec, (bc, L, W), lambda i: (i, 0, 0),
                    memory_space=pltpu.VMEM)
@@ -281,19 +410,25 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
     else:
         kappa_specs = [slab()]
         kappa_args = (kappa,)
+    invg_specs = [col()] if col_g else []
+    invg_args = (inv_g,) if col_g else ()
+    ftoa_spec = (pl.BlockSpec((bc, W), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+                 if col_ftoa else vec())
     out = pl.pallas_call(
-        partial(kernel, L=L, fused=fused),
+        partial(kernel, L=L, fused=fused, col_g=col_g,
+                col_ftoa=col_ftoa),
         grid=(Bp // bc,),
         in_specs=[
             pl.BlockSpec((1, L - 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((bc, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            col(),
+            *invg_specs,
             pl.BlockSpec((bc, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *kappa_specs,
             slab(), slab(),
-            vec(), vec(), vec(), vec(),
+            vec(), vec(), ftoa_spec, vec(),
         ],
         out_specs=[
             slab(), slab(),
@@ -308,8 +443,8 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(dtf, done_col, temps, *kappa_args, F_up, F_down,
-      sc.lam, sc.sigma, sc.f_toa, sc.tw)
+    )(dtf, done_col, *invg_args, temps, *kappa_args, F_up, F_down,
+      sc.lam, sc.sigma, f_toa, sc.tw)
     F_up_new, F_down_new, sums = out
     if pad:
         F_up_new = F_up_new[:B]

@@ -240,9 +240,18 @@ def solve_population(init_temps, grid, planets,
     Returns a batched :class:`RTResult`.  Per-column results equal
     independent single-planet solves (cross-checked in
     tests/test_parallel.py).
+
+    Engines: runs through ``solve_rc_batched`` in per-column mode —
+    per-planet F_toa / g / alpha reach the fused Pallas sweep kernels
+    directly (F_toa as (C, W) blocks, gravity as a (C, 1) reciprocal
+    broadcast on the shared pressure-difference rows), so a population
+    solves at the same per-chip throughput as a shared-planet batch
+    (measured within ~1.1x, see docs/design-notes.md).  ``mesh``
+    shards the population over the 'columns' axis.
     """
     import numpy as np
 
+    from ..rt.solver import solve_rc_batched
     from ..stellar.irradiation import f_toa_np
 
     consts = grid._consts
@@ -261,18 +270,37 @@ def solve_population(init_temps, grid, planets,
             "have the same m_bar (it sets chemistry + Rayleigh); "
             "build separate grids for different compositions")
 
-    n_dof = 5
     init_temps = jnp.asarray(init_temps, dtype)
+    params = PhysicsParams(g=g, m_bar=jnp.asarray(m_bar, dtype),
+                           alpha=alpha, n_dof=5)
 
-    def one(T0, ftoa_c, g_c, alpha_c):
-        params = PhysicsParams(g=g_c, m_bar=jnp.asarray(m_bar, dtype),
-                               alpha=alpha_c, n_dof=n_dof)
-        return solve_rc(T0, consts._replace(F_toa=ftoa_c), params,
-                        kappa_all, cfg)
+    if mesh is None:
+        return solve_rc_batched(init_temps,
+                                consts._replace(F_toa=f_toa),
+                                params, kappa_all, cfg)
 
-    fn = jax.jit(jax.vmap(one))
-    if mesh is not None:
-        cols = NamedSharding(mesh, P(COLUMNS))
-        init_temps = jax.device_put(init_temps, cols)
-        f_toa = jax.device_put(f_toa, cols)
-    return fn(init_temps, f_toa, g, alpha)
+    if mesh.shape[BINS] > 1:
+        raise ValueError(
+            "solve_population shards the 'columns' axis only; use a "
+            "(n_columns, 1) mesh (per-planet F_toa rows are column "
+            "state, not spectral constants)")
+
+    def run(T0, ftoa_c, g_c, alpha_c):
+        par = PhysicsParams(g=g_c, m_bar=jnp.asarray(m_bar, dtype),
+                            alpha=alpha_c, n_dof=5)
+        return solve_rc_batched(T0, consts._replace(F_toa=ftoa_c),
+                                par, kappa_all, cfg)
+
+    from jax import shard_map
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(COLUMNS), P(COLUMNS), P(COLUMNS), P(COLUMNS)),
+        out_specs=RTResult(*([P(COLUMNS)] * len(RTResult._fields))),
+        check_vma=False,
+    )
+    cols = NamedSharding(mesh, P(COLUMNS))
+    init_temps = jax.device_put(init_temps, cols)
+    f_toa = jax.device_put(f_toa, cols)
+    g = jax.device_put(g, cols)
+    alpha = jax.device_put(alpha, cols)
+    return jax.jit(fn)(init_temps, f_toa, g, alpha)

@@ -313,12 +313,25 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     n_hist = 2 * cfg.n_timesteps
     engine = _resolve_engine(cfg.engine)
 
+    # Per-column (population) mode: any physics scalar may be a (B,)
+    # array and consts.F_toa may be (B, W) — one planet per column
+    # (reference `core.py:48-62`: F_TOA is the only per-planet spectral
+    # input; g / alpha / m_bar enter the dtau factors and the timestep
+    # physics).  Array fields are normalized to (B, 1) column vectors
+    # so the epilogue physics broadcast against (B, L-1) layer arrays.
+    def _cols(x):
+        x = jnp.asarray(x, dtype)
+        return x.reshape(-1, 1) if x.ndim >= 1 else x
+
     params = PhysicsParams(
-        g=jnp.asarray(params.g, dtype),
-        m_bar=jnp.asarray(params.m_bar, dtype),
-        alpha=jnp.asarray(params.alpha, dtype),
+        g=_cols(params.g),
+        m_bar=_cols(params.m_bar),
+        alpha=_cols(params.alpha),
         n_dof=params.n_dof,
     )
+    per_column = (consts.F_toa.ndim == 2
+                  or any(jnp.ndim(f) >= 1
+                         for f in (params.g, params.m_bar, params.alpha)))
 
     fused_parts = None
     mask_in_kernel = engine.startswith("pallas")
@@ -349,6 +362,14 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         iteration = None
         use_loop = engine.startswith("pallas-loop")
         hook = getattr(kappa_all, "iteration_hook", None)
+        if per_column and (use_loop or use_iteration):
+            # the mega-kernels bake F_toa / g into their constant pack
+            # (ops/iteration_pallas.py) — silently sharing them across
+            # a population would be wrong physics
+            raise ValueError(
+                f"engine {engine!r} does not support per-column "
+                "params / F_toa (population mode); use engine "
+                "'pallas' or 'xla'")
         if use_loop:
             if cfg.bins_axis:
                 raise ValueError(
@@ -380,24 +401,55 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
             iteration = partial(rc_iteration_pallas, pack=pack,
                                 params=params, interpret=interp)
     elif engine == "xla":
-        sweep_kw = dict(
-            sigma_scat=consts.sigma_scat, F_toa=consts.F_toa,
+        common_kw = dict(
+            sigma_scat=consts.sigma_scat,
             lam_cm=consts.lam_cm, trapz_w=consts.trapz_w,
-            pressures=consts.pressures, params=params,
+            pressures=consts.pressures,
             associative=cfg.associative,
         )
+        if per_column:
+            # map the sweeps over per-column F_toa rows and physics
+            # scalars too — inside the vmap each column sees plain
+            # scalars, so per-column results are bit-identical to
+            # independent ``solve_rc`` runs with those params
+            ftoa_b = (consts.F_toa if consts.F_toa.ndim == 2
+                      else jnp.broadcast_to(consts.F_toa, (B, W)))
+            g_b = jnp.broadcast_to(jnp.ravel(params.g), (B,))
+            m_b = jnp.broadcast_to(jnp.ravel(params.m_bar), (B,))
+            a_b = jnp.broadcast_to(jnp.ravel(params.alpha), (B,))
 
-        def emit(T, Fu, Fd, K):
-            r = jax.vmap(
-                lambda t, fu, fd, k: emit_sweep(t, fu, fd, k, **sweep_kw)
-            )(T, Fu, Fd, K)
-            return r.F_up, r.F_down, r.temps, r.dT
+            def _vmapped(sweep):
+                def one(t, fu, fd, k, ft, g, m, al):
+                    par = PhysicsParams(g=g, m_bar=m, alpha=al,
+                                        n_dof=params.n_dof)
+                    r = sweep(t, fu, fd, k, F_toa=ft, params=par,
+                              **common_kw)
+                    return r.F_up, r.F_down, r.temps, r.dT
 
-        def absorb(T, Fu, Fd, K):
-            r = jax.vmap(
-                lambda t, fu, fd, k: absorb_sweep(t, fu, fd, k, **sweep_kw)
-            )(T, Fu, Fd, K)
-            return r.F_up, r.F_down, r.temps, r.dT
+                def run(T, Fu, Fd, K):
+                    return jax.vmap(one)(T, Fu, Fd, K, ftoa_b, g_b,
+                                         m_b, a_b)
+                return run
+
+            emit = _vmapped(emit_sweep)
+            absorb = _vmapped(absorb_sweep)
+        else:
+            sweep_kw = dict(F_toa=consts.F_toa, params=params,
+                            **common_kw)
+
+            def emit(T, Fu, Fd, K):
+                r = jax.vmap(
+                    lambda t, fu, fd, k: emit_sweep(t, fu, fd, k,
+                                                    **sweep_kw)
+                )(T, Fu, Fd, K)
+                return r.F_up, r.F_down, r.temps, r.dT
+
+            def absorb(T, Fu, Fd, K):
+                r = jax.vmap(
+                    lambda t, fu, fd, k: absorb_sweep(t, fu, fd, k,
+                                                      **sweep_kw)
+                )(T, Fu, Fd, K)
+                return r.F_up, r.F_down, r.temps, r.dT
 
         iteration = None
     else:

@@ -58,11 +58,15 @@ __all__ = ["SweepResult", "emit_sweep", "absorb_sweep", "bolometric_flux",
 def emit_dtaus(k_all, pressures, params):
     """The dtaus diagnostic of an emit sweep (`twostream.py:352,371`):
     a row of ones followed by the per-swept-layer optical depths.
-    Shape-generic over leading batch axes of ``k_all``."""
+    Shape-generic over leading batch axes of ``k_all``; ``params.g``
+    may be per-column (B,)/(B, 1) against (B, L, W) ``k_all``."""
     p = pressures
+    g = jnp.asarray(params.g)
+    if g.ndim >= 1:
+        g = g.reshape(g.shape[0], 1, 1)    # (B, 1, 1) vs (B, L-1, W)
     p2 = jnp.concatenate([p[2:], (p[-1] * p[-2] / p[-3])[None]])
     dtau = physics.delta_tau(k_all[..., 1:, :], p[1:, None], p2[:, None],
-                             params.g)
+                             g)
     ones = jnp.ones_like(k_all[..., :1, :])
     return jnp.concatenate([ones, dtau], axis=-2)
 

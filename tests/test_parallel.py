@@ -81,7 +81,13 @@ def test_early_convergence_freezing(setup):
         assert int(res.n_iterations[c]) == int(one.n_iterations)
 
 
-@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [(8, 1),
+     # the bins-sharded variant recompiles the whole shard_map +
+     # Pallas program — slow lane (the psum path is also covered by
+     # the driver's dryrun factorization sweep)
+     pytest.param((4, 2), marks=pytest.mark.slow)])
 def test_ensemble_pallas_shard_map(setup, mesh_shape):
     """The fused Pallas engine runs per shard under shard_map on
     columns-only AND bins-sharded meshes (per-shard partial bolometric
@@ -139,6 +145,104 @@ def test_population_matches_individual_planets(setup):
                                    rtol=1e-9)
 
 
+def _population(n=3):
+    return [
+        Planet(a_rstar=5.0, m_bar=2.4, g=24.79, T_star=5800.0, alpha=1.0),
+        Planet(a_rstar=9.0, m_bar=2.4, g=10.0, T_star=4500.0, alpha=1.5),
+        Planet(a_rstar=6.4, m_bar=2.4, g=50.0, T_star=6300.0, alpha=1.0),
+        Planet(a_rstar=4.0, m_bar=2.4, g=15.0, T_star=5000.0, alpha=0.8),
+        Planet(a_rstar=7.5, m_bar=2.4, g=35.0, T_star=6000.0, alpha=1.2),
+        Planet(a_rstar=5.5, m_bar=2.4, g=20.0, T_star=5500.0, alpha=1.0),
+        Planet(a_rstar=8.2, m_bar=2.4, g=12.0, T_star=4800.0, alpha=1.4),
+        Planet(a_rstar=6.0, m_bar=2.4, g=28.0, T_star=5900.0, alpha=0.9),
+    ][:n]
+
+
+def _population_reference(grid_kw, planets, T0, cfg):
+    """Independent single-planet solve_rc solutions (fresh grids so the
+    per-planet F_toa lives in the constants, like a reference user
+    would run them)."""
+    from frei_tpu.rt.solver import solve_rc
+    out = []
+    for c, p in enumerate(planets):
+        g1 = Grid(p, **grid_kw)
+        g1.load_opacities(opacities=load_example_opacity(
+            g1, scale_factor=1.0, dtype=jnp.float64))
+        out.append(solve_rc(jnp.asarray(T0[c]), g1._consts,
+                            p.physics_params(), g1._kappa_fn, cfg))
+    return out
+
+
+def test_population_pallas_engine(setup):
+    """Per-planet F_toa / g / alpha reach the FUSED Pallas sweep
+    kernels (per-column (C, W) F_toa blocks + (C, 1) 1/g broadcast):
+    population results match independent per-planet solves at the
+    same tolerances as the shared-planet Pallas engine tests."""
+    from frei_tpu.parallel import solve_population
+
+    planet, grid = setup
+    planets = _population(3)
+    T0 = _ensemble_inputs(grid, 3)
+    cfg = SolverConfig(n_timesteps=4, engine="pallas-interpret")
+    res = solve_population(jnp.asarray(T0), grid, planets, cfg)
+    assert res.flux.shape == (3, 64)
+
+    grid_kw = dict(n_wl_bins=64, n_layers=10, T_ref=2400.0,
+                   dtype=jnp.float64)
+    ones = _population_reference(grid_kw, planets, T0,
+                                 SolverConfig(n_timesteps=4))
+    for c, one in enumerate(ones):
+        np.testing.assert_allclose(res.flux[c], np.asarray(one.flux),
+                                   rtol=1e-7)
+        np.testing.assert_allclose(res.final_temps[c],
+                                   np.asarray(one.final_temps),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(res.dtaus[c], np.asarray(one.dtaus),
+                                   rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_population_sharded_mesh(setup):
+    """Population solve sharded over the 'columns' mesh axis equals
+    independent per-planet solves; bins-sharded meshes are rejected."""
+    from frei_tpu.parallel import solve_population
+
+    planet, grid = setup
+    planets = _population(8)
+    T0 = _ensemble_inputs(grid, 8)
+    cfg = SolverConfig(n_timesteps=3)
+    mesh = make_mesh(8, 1)
+    res = solve_population(jnp.asarray(T0), grid, planets, cfg,
+                           mesh=mesh)
+    grid_kw = dict(n_wl_bins=64, n_layers=10, T_ref=2400.0,
+                   dtype=jnp.float64)
+    ones = _population_reference(grid_kw, planets, T0, cfg)
+    for c, one in enumerate(ones):
+        np.testing.assert_allclose(res.flux[c], np.asarray(one.flux),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(res.final_temps[c],
+                                   np.asarray(one.final_temps),
+                                   rtol=1e-9)
+    with pytest.raises(ValueError, match="columns"):
+        solve_population(jnp.asarray(T0), grid, planets, cfg,
+                         mesh=make_mesh(4, 2))
+
+
+def test_population_rejects_mega_kernel_engines(setup):
+    """The whole-iteration / whole-loop kernels bake F_toa and g into
+    their constant packs — per-column params must be rejected loudly,
+    not silently shared."""
+    from frei_tpu.parallel import solve_population
+
+    planet, grid = setup
+    planets = _population(2)
+    T0 = _ensemble_inputs(grid, 2)
+    for engine in ("pallas-iteration-interpret", "pallas-loop-interpret"):
+        with pytest.raises(ValueError, match="per-column"):
+            solve_population(jnp.asarray(T0), grid, planets,
+                             SolverConfig(n_timesteps=2, engine=engine))
+
+
 def test_population_rejects_mixed_composition(setup):
     from frei_tpu import Planet
     from frei_tpu.parallel import solve_population
@@ -151,6 +255,7 @@ def test_population_rejects_mixed_composition(setup):
         solve_population(jnp.asarray(T0), grid, planets)
 
 
+@pytest.mark.slow
 def test_ensemble_loop_engine_columns_mesh(setup):
     """The whole-loop kernel engine works under shard_map on a
     columns-only mesh (it rejects bins-sharded meshes — no in-kernel

@@ -107,8 +107,13 @@ def test_batched_solver_xla_engine_equals_vmap(setup):
 
 
 @pytest.mark.parametrize(
-    "engine", ["pallas-interpret", "pallas-iteration-interpret",
-               "pallas-loop-interpret"])
+    "engine",
+    ["pallas-interpret",
+     # the mega-kernel engines compile multi-minute interpret-mode
+     # traces — slow lane (the two-kernel engine above stays in the
+     # fast lane as the Pallas-path representative)
+     pytest.param("pallas-iteration-interpret", marks=pytest.mark.slow),
+     pytest.param("pallas-loop-interpret", marks=pytest.mark.slow)])
 def test_batched_solver_pallas_engine_trajectory(setup, engine):
     planet, grid, params, T, *_ = setup
     consts = grid._consts
@@ -252,21 +257,33 @@ def test_multispecies_pipeline_with_fused_kernels(tmp_path):
     assert np.all(np.isfinite(np.asarray(rx.flux)))
 
 
-def test_loop_engine_resume_and_early_convergence(setup):
+@pytest.mark.slow
+def test_loop_engine_resume_and_early_convergence():
     """pallas-loop engine edge semantics: warm-start via init_fluxes
     continues the trajectory exactly (checkpoint/resume contract), and
-    early-converged columns freeze identically to the xla engine."""
-    planet, grid, params, T, *_ = setup
+    early-converged columns freeze identically to the xla engine.
+
+    Uses a private small grid (not the module fixture): the test runs
+    five whole-loop interpret-mode solves, which dominate the fast
+    lane at the fixture size."""
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=16, n_layers=6, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    rng = np.random.RandomState(0)
+    T = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                    * rng.uniform(0.9, 1.1, (3, 1)))
     consts = grid._consts
 
     def cfg(n, engine):
         return SolverConfig(n_timesteps=n, n_zero_crossings=10 ** 6,
                             convergence_dT=0.0, engine=engine)
     args = (consts, planet.physics_params(), grid._kappa_fn)
-    full = solve_rc_batched(T, *args, cfg(4, "pallas-loop-interpret"))
-    part = solve_rc_batched(T, *args, cfg(2, "pallas-loop-interpret"))
+    full = solve_rc_batched(T, *args, cfg(2, "pallas-loop-interpret"))
+    part = solve_rc_batched(T, *args, cfg(1, "pallas-loop-interpret"))
     resumed = solve_rc_batched(
-        part.loop_temps, *args, cfg(2, "pallas-loop-interpret"),
+        part.loop_temps, *args, cfg(1, "pallas-loop-interpret"),
         init_fluxes=(part.loop_F_up, part.loop_F_down))
     np.testing.assert_array_equal(np.asarray(full.flux),
                                   np.asarray(resumed.flux))
@@ -275,7 +292,7 @@ def test_loop_engine_resume_and_early_convergence(setup):
 
     # convergence path: loose threshold converges everything quickly —
     # frozen-column counters must match the xla engine exactly
-    loose = SolverConfig(n_timesteps=6, n_zero_crossings=2,
+    loose = SolverConfig(n_timesteps=4, n_zero_crossings=2,
                          convergence_dT=50.0, engine="xla")
     rx = solve_rc_batched(T, *args, loose)
     rl = solve_rc_batched(
