@@ -283,15 +283,27 @@ class Grid:
             lt = make_layer_tables(stack, self._consts.pressures)
             press = self._consts.pressures
 
+            # Table-mode chemistry gets the same treatment as the
+            # opacity tables: P-interpolate once onto the layer grid,
+            # 1-D T-interpolate per iteration as a gather-free one-hot
+            # contraction (FastChemJAX.layer_mmr_interp — the 2-D
+            # table gathers otherwise dominate the chemistry-in-loop
+            # solve).  Mock / exact-mode chemistry keeps the generic
+            # mmr(T, P) call.
+            try:
+                mmr_fn = chem_ref.layer_mmr_interp(press)
+            except AttributeError:
+                def mmr_fn(temps):
+                    return chem_ref.mmr(temps, press)
+
             def kappa_all(temps, pressures):
                 del pressures  # fixed to the layer grid by design
-                mmr = chem_ref.mmr(temps, press)
-                k, _ = kappa_from_layer_tables(lt, mmr, temps, sigma_dev)
+                k, _ = kappa_from_layer_tables(lt, mmr_fn(temps),
+                                               temps, sigma_dev)
                 return k
 
             def _ohs(temps):
-                return layer_interp_weights(
-                    lt, chem_ref.mmr(temps, press), temps)
+                return layer_interp_weights(lt, mmr_fn(temps), temps)
 
             # fused-kappa hook for the Pallas sweep kernels; NOTE the
             # kernels add sigma themselves, so the weights exclude it

@@ -476,3 +476,46 @@ class FastChemJAX:
         tab = tab + jnp.log(
             jnp.asarray(self._masses_g / self.m_bar_g, tab.dtype))
         return self._tab_logT, jnp.moveaxis(tab, 0, 1)  # (L, nTc, S)
+
+    def layer_mmr_interp(self, pressures_cgs):
+        """Hot-loop MMR evaluator on the fixed layer grid (table mode
+        only): returns ``mmr_fn(temps)`` with ``temps`` (..., L) ->
+        (S, ..., L) mass mixing ratios, equal to
+        ``self.mmr(temps, pressures_cgs)`` to float32 rounding.
+
+        Why this exists: :meth:`_vmr_from_table` re-does the
+        pressure-axis searchsorted and four 2-D fancy-index gathers on
+        (batch, L)-shaped indices EVERY solver iteration — on TPU
+        those gathers lower to slow dynamic-slice loops that measured
+        0.33 s of a 0.71 s chemistry-in-loop solve (8 XLA fusions x
+        20 iterations, tools/profile_solve.py).  Here the P axis is
+        interpolated ONCE onto the static layer pressures
+        (:meth:`layer_ln_mmr_tables`), leaving a per-iteration 1-D
+        logT interpolation expressed as a one-hot contraction — the
+        same gather-free MXU pattern as the kappa table lookup
+        (opacity/tables.py `layer_interp_weights`).  Temperatures are
+        CLAMPED to the table range (matching ``_vmr_from_table``'s
+        clip, not the opacity tables' zero-fill)."""
+        if self.mode != "table":
+            raise AttributeError(
+                "layer-factored chemistry requires table mode")
+        logT_grid, tab = self.layer_ln_mmr_tables(pressures_cgs)
+        nTc = logT_grid.shape[0]
+
+        def mmr_fn(temps):
+            dtype = jnp.result_type(temps)
+            x = jnp.log10(jnp.asarray(temps, jnp.float32))
+            x = jnp.clip(x, logT_grid[0], logT_grid[-1])
+            i = jnp.clip(
+                jnp.searchsorted(logT_grid, x, side="right") - 1,
+                0, nTc - 2)
+            f = (x - logT_grid[i]) / (logT_grid[i + 1] - logT_grid[i])
+            oh = (jax.nn.one_hot(i, nTc, dtype=jnp.float32)
+                  * (1.0 - f)[..., None]
+                  + jax.nn.one_hot(i + 1, nTc, dtype=jnp.float32)
+                  * f[..., None])                  # (..., L, nTc)
+            ln = jnp.einsum('...lk,lks->...ls', oh, tab,
+                            precision=jax.lax.Precision.HIGHEST)
+            return jnp.moveaxis(jnp.exp(ln), -1, 0).astype(dtype)
+
+        return mmr_fn

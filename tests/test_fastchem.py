@@ -106,6 +106,36 @@ def test_unknown_species_raises():
         FastChemJAX(["Xx9"], 1.0, mode="exact")
 
 
+def test_layer_mmr_interp_matches_generic_path():
+    """The hot-loop layer-factored MMR evaluator (P-interp hoisted,
+    one-hot T contraction) equals the generic bilinear table path
+    ``mmr(T, P)`` to float32 rounding — including batched (B, L)
+    temperatures and out-of-range temperatures (both clamp)."""
+    m_bar = 2.4 * 1.67262192369e-24
+    species = ["1H2-16O", "Na", "K"]
+    # coarse table: the parity under test (layer-factored vs generic
+    # bilinear evaluation of the SAME table) is grid-size independent
+    chem = FastChemJAX(species, m_bar, mode="table", grid_shape=(16, 8))
+    press = jnp.asarray(np.logspace(-6, 2, 30) * BAR_TO_CGS,
+                        jnp.float32)
+    rng = np.random.RandomState(7)
+    # in-range, below-range, above-range temperatures
+    T = jnp.asarray(
+        np.concatenate([rng.uniform(900.0, 4800.0, (6, 30)),
+                        np.full((1, 30), 150.0),
+                        np.full((1, 30), 9000.0)]), jnp.float32)
+    mmr_fn = chem.layer_mmr_interp(press)
+    got = np.asarray(mmr_fn(T))
+    want = np.asarray(chem.mmr(T, press[None, :].repeat(8, 0)))
+    # float32: exp() of two differently-rounded ln-interpolations
+    # (bilinear gather vs hoisted-P one-hot contraction)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    exact = FastChemJAX(species, m_bar, mode="exact")
+    with pytest.raises(AttributeError, match="table mode"):
+        exact.layer_mmr_interp(press)
+
+
 def test_golden_vmr_profiles(profile_solution):
     """Point-wise log-VMR profiles for 14 species over the full
     reference T-P profile vs the committed regression table
