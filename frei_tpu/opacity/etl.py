@@ -254,6 +254,16 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
             return np.asarray(resort_rebin_pallas(
                 jnp.asarray(rows), jnp.asarray(wav_c),
                 jnp.asarray(edges_um)))
+    elif engine == "matmul":
+        # block-banded MXU formulation: x/edges are static here, so
+        # the scatter-free factory is built once per store and reused
+        # across the row chunks (see ops/rebin_matmul.py)
+        import jax
+        import jax.numpy as jnp
+        from ..ops.rebin_matmul import make_resort_rebin_matmul
+        rebin_jit = jax.jit(make_resort_rebin_matmul(wav_c, edges_um))
+        def rebin_rows(rows):
+            return np.asarray(rebin_jit(jnp.asarray(rows, jnp.float32)))
     else:
         import jax
         import jax.numpy as jnp
@@ -314,6 +324,11 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
     for :func:`frei_tpu.opacity.tables.make_opacity_stack`.
     Equivalent of the reference ``binned_opacity`` (`opacity.py:66-170`)
     with device kernels and a binned-result disk cache.
+
+    ``engine``: "xla" (segment-sum, any backend), "matmul" (scatter-free
+    block-banded MXU formulation, fastest on TPU — see
+    ``ops/rebin_matmul.py``), "pallas" (TPU kernel), or "native"
+    (threaded C++, best for host-only many-core ETL).
 
     ``groupies`` selects between the reference's two rebin semantics
     (see :func:`_rebin_store`): True = trapezoid integral x bin width x

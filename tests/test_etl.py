@@ -119,6 +119,7 @@ def test_engines_agree(cache_env):
     grid = make_rt_grid(n_wl_bins=32, n_layers=4)
     t_xla = binned_opacity_tables(grid, engine="xla", cache=False)
     engines = ["pallas"] if os.environ.get("FREI_TPU_TEST_PALLAS") else []
+    engines.append("matmul")
     if native_available():
         engines.append("native")
     for eng in engines:
@@ -207,8 +208,11 @@ def test_exact_engines_agree(cache_env):
     grid = make_rt_grid(n_wl_bins=32, n_layers=4)
     t_xla = binned_opacity_tables(grid, engine="xla", cache=False,
                                   groupies=False)
+    engines = ["matmul"]
     if native_available():
-        t = binned_opacity_tables(grid, engine="native", cache=False,
+        engines.append("native")
+    for eng in engines:
+        t = binned_opacity_tables(grid, engine=eng, cache=False,
                                   groupies=False)
         np.testing.assert_allclose(
             t["1H2-16O"][0], t_xla["1H2-16O"][0], rtol=2e-4, atol=1e-8)

@@ -138,3 +138,59 @@ def test_grouped_aggregate_trapz_alias():
     b = resort_rebin(jnp.asarray(vals), jnp.asarray(x),
                      jnp.asarray(edges))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_matmul_engine_matches_oracle(problem):
+    """The block-banded MXU formulation (static x/edges -> scan of
+    dense per-tile dots, ops/rebin_matmul.py) against the float64
+    transcription oracle — float64 input must match to summation
+    order, float32 to rounding."""
+    from frei_tpu.ops.rebin_matmul import make_resort_rebin_matmul
+
+    x, edges, values = problem
+    want = trapz_in_bins_oracle(values, x, edges)
+    fn = make_resort_rebin_matmul(x, edges)
+    got64 = np.asarray(fn(jnp.asarray(values, jnp.float64)))
+    got32 = np.asarray(fn(jnp.asarray(values, jnp.float32)))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got64, want, rtol=1e-10,
+                               atol=1e-10 * scale)
+    np.testing.assert_allclose(got32, want, rtol=2e-5,
+                               atol=2e-5 * scale)
+
+
+def test_matmul_engine_small_tiles(problem):
+    """Forcing many tiles (tile smaller than a bin's sample count)
+    exercises the cross-tile partial-bin accumulation: a bin split
+    across tiles must still sum exactly once per panel."""
+    from frei_tpu.ops.rebin_matmul import make_resort_rebin_matmul
+
+    x, edges, values = problem
+    want = np.asarray(resort_rebin(
+        jnp.asarray(values, jnp.float64), jnp.asarray(x),
+        jnp.asarray(edges)))
+    fn = make_resort_rebin_matmul(x, edges, tile=512)
+    got = np.asarray(fn(jnp.asarray(values, jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-10,
+                               atol=1e-10 * np.abs(want).max())
+
+
+def test_matmul_engine_degenerate_cases():
+    from frei_tpu.ops.rebin_matmul import make_resort_rebin_matmul
+
+    # every sample outside the bins -> exact zeros
+    fn = make_resort_rebin_matmul(np.linspace(100.0, 101.0, 64),
+                                  np.geomspace(0.5, 10.0, 11))
+    assert np.asarray(fn(jnp.ones((2, 64)))).sum() == 0.0
+    # N not a multiple of the tile; samples straddling the edges
+    rng = np.random.RandomState(3)
+    x = np.sort(rng.uniform(0.0, 12.0, 1013))
+    edges = np.geomspace(0.5, 10.0, 8)
+    vals = rng.rand(3, 1013)
+    want = np.asarray(resort_rebin(
+        jnp.asarray(vals, jnp.float64), jnp.asarray(x),
+        jnp.asarray(edges)))
+    got = np.asarray(make_resort_rebin_matmul(x, edges, tile=512)(
+        jnp.asarray(vals, jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-10,
+                               atol=1e-10 * max(np.abs(want).max(), 1e-30))

@@ -54,17 +54,30 @@ def kernel_bench():
     results = {}
 
     from frei_tpu.ops.rebin import resort_rebin
+
+    # Arrays must be ARGUMENTS, not jit closure captures: captured
+    # device arrays are re-uploaded through the axon tunnel on every
+    # call, which turns a kernel microbench into a transfer bench
+    # (this exact bug once reported the TPU engines 3.7x slower than
+    # they are).
     xr = jnp.asarray(rows)
     xx = jnp.asarray(x, jnp.float32)
     xe = jnp.asarray(edges, jnp.float32)
-    f = jax.jit(lambda: resort_rebin(xr, xx, xe))
-    results["xla"] = timed(lambda: jax.block_until_ready(f()))
+    f = jax.jit(resort_rebin)
+    results["xla"] = timed(
+        lambda: jax.block_until_ready(f(xr, xx, xe)))
+
+    from frei_tpu.ops.rebin_matmul import make_resort_rebin_matmul
+    m = jax.jit(make_resort_rebin_matmul(x, edges))
+    results["matmul"] = timed(
+        lambda: jax.block_until_ready(m(xr)))
 
     if jax.default_backend() in ("tpu", "axon"):
         from frei_tpu.ops.rebin_pallas import resort_rebin_pallas
-        g = jax.jit(lambda: resort_rebin_pallas(xr, xx, xe))
+        g = jax.jit(resort_rebin_pallas)
         try:
-            results["pallas"] = timed(lambda: jax.block_until_ready(g()))
+            results["pallas"] = timed(
+                lambda: jax.block_until_ready(g(xr, xx, xe)))
         except Exception as e:
             print("pallas engine failed:", str(e)[:80])
 
@@ -84,7 +97,7 @@ def kernel_bench():
 
 
 def production_bench(tmp_dir=None, n_hr=1_000_000, n_t=10, n_p=10,
-                     engines=("native", "xla")):
+                     engines=("native", "xla", "matmul")):
     """Full ETL path at line-list scale: memmap store -> streamed
     row-chunk rebin -> nearest (T, P) selection (the reference's
     ``binned_opacity`` over a ~`opacities.rst` sized cube)."""
