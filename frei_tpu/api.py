@@ -290,11 +290,8 @@ class Grid:
             # table gathers otherwise dominate the chemistry-in-loop
             # solve).  Mock / exact-mode chemistry keeps the generic
             # mmr(T, P) call.
-            try:
-                mmr_fn = chem_ref.layer_mmr_interp(press)
-            except AttributeError:
-                def mmr_fn(temps):
-                    return chem_ref.mmr(temps, press)
+            from .chemistry.fastchem import hot_loop_mmr_fn
+            mmr_fn = hot_loop_mmr_fn(chem_ref, press)
 
             def kappa_all(temps, pressures):
                 del pressures  # fixed to the layer grid by design

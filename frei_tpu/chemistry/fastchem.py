@@ -477,6 +477,11 @@ class FastChemJAX:
             jnp.asarray(self._masses_g / self.m_bar_g, tab.dtype))
         return self._tab_logT, jnp.moveaxis(tab, 0, 1)  # (L, nTc, S)
 
+    def supports_layer_factoring(self):
+        """True when :meth:`layer_mmr_interp` is available (table
+        mode): the hot loop can hoist the P interpolation."""
+        return self.mode == "table"
+
     def layer_mmr_interp(self, pressures_cgs):
         """Hot-loop MMR evaluator on the fixed layer grid (table mode
         only): returns ``mmr_fn(temps)`` with ``temps`` (..., L) ->
@@ -519,3 +524,27 @@ class FastChemJAX:
             return jnp.moveaxis(jnp.exp(ln), -1, 0).astype(dtype)
 
         return mmr_fn
+
+
+def hot_loop_mmr_fn(chem, pressures_cgs):
+    """Best MMR evaluator for a solver hot loop on the FIXED layer
+    pressure grid: the layer-factored table path
+    (:meth:`FastChemJAX.layer_mmr_interp`) when the chemistry model
+    advertises it via ``supports_layer_factoring()``, else the generic
+    ``chem.mmr(temps, pressures_cgs)``.
+
+    Dispatch is an explicit capability check, NOT exception-driven:
+    an incidental ``AttributeError`` inside a custom model's
+    ``layer_mmr_interp`` must propagate loudly rather than silently
+    demote the solve to the gather path.  Shared by ``api.Grid`` and
+    ``parallel.solve_ensemble`` so every entry point gets the same
+    hot-loop chemistry."""
+    supports = getattr(chem, "supports_layer_factoring", None)
+    fast = getattr(chem, "layer_mmr_interp", None)
+    if fast is not None and (supports is None or supports()):
+        return fast(pressures_cgs)
+
+    def mmr_fn(temps):
+        return chem.mmr(temps, pressures_cgs)
+
+    return mmr_fn

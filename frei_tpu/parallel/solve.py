@@ -115,16 +115,20 @@ def solve_ensemble(
                                       layer_interp_weights,
                                       make_layer_tables)
         lt = make_layer_tables(stack, consts.pressures)
+        # same hot-loop chemistry as api.Grid: layer-factored table
+        # evaluator when the model supports it (the chem tables are
+        # replicated, so the factored closure is shard-safe)
+        from ..chemistry.fastchem import hot_loop_mmr_fn
+        mmr_fn = hot_loop_mmr_fn(chem, consts.pressures)
 
         def kappa_all(temps, pressures):
-            mmr = chem.mmr(temps, pressures)
-            k, _ = kappa_from_layer_tables(lt, mmr, temps,
+            del pressures  # fixed to the layer grid by design
+            k, _ = kappa_from_layer_tables(lt, mmr_fn(temps), temps,
                                            consts.sigma_scat)
             return k
 
         def _ohs(temps):
-            return layer_interp_weights(
-                lt, chem.mmr(temps, consts.pressures), temps)
+            return layer_interp_weights(lt, mmr_fn(temps), temps)
 
         kappa_all.layer_parts = (_ohs, lt.tab)
         kappa_all.iteration_hook = (lt.temps, lt.tab, chem)
@@ -159,15 +163,15 @@ def solve_ensemble(
                 lt_in = lt_outer._replace(tab=tab_in)
 
                 def k_all(temps, pressures):
-                    mmr = chem.mmr(temps, pressures)
+                    del pressures
                     k, _ = kappa_from_layer_tables(
-                        lt_in, mmr, temps, consts_in.sigma_scat)
+                        lt_in, mmr_fn(temps), temps,
+                        consts_in.sigma_scat)
                     return k
 
                 def _ohs_in(temps):
                     return layer_interp_weights(
-                        lt_in, chem.mmr(temps, consts_in.pressures),
-                        temps)
+                        lt_in, mmr_fn(temps), temps)
 
                 k_all.layer_parts = (_ohs_in, lt_in.tab)
                 k_all.iteration_hook = (lt_in.temps, lt_in.tab, chem)

@@ -319,6 +319,11 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     # input; g / alpha / m_bar enter the dtau factors and the timestep
     # physics).  Array fields are normalized to (B, 1) column vectors
     # so the epilogue physics broadcast against (B, L-1) layer arrays.
+    # CAVEAT: a per-column m_bar reaches ONLY the dtau/timestep
+    # physics — consts.sigma_scat (Rayleigh) and the MMR scale inside
+    # kappa_all were built from the grid's single m_bar, so varying
+    # composition per column needs per-column kappa/sigma too (use
+    # parallel.solve_population, which guards this).
     def _cols(x):
         x = jnp.asarray(x, dtype)
         return x.reshape(-1, 1) if x.ndim >= 1 else x

@@ -201,3 +201,39 @@ def test_exact_mode_warm_start_hot_loop():
     with pytest.raises(AttributeError):
         FastChemJAX(["1H2-16O"], m_bar, mode="table",
                     grid_shape=(8, 6)).vmr_with_state(T, P_cgs)
+
+
+def test_hot_loop_mmr_fn_dispatch():
+    """hot_loop_mmr_fn is an explicit capability dispatch: factored
+    for table mode, generic otherwise — and a custom model whose own
+    layer_mmr_interp is broken must fail LOUDLY, not silently demote
+    to the gather path (exception-driven dispatch bug, round-3
+    review)."""
+    from frei_tpu.chemistry.fastchem import hot_loop_mmr_fn
+
+    press = jnp.asarray(np.logspace(-3, 2, 5))
+
+    class Custom:                    # mmr-only duck type -> generic
+        def mmr(self, temps, pressures_cgs):
+            return jnp.ones((2,) + temps.shape)
+
+    fn = hot_loop_mmr_fn(Custom(), press)
+    assert fn(jnp.ones((3, 5))).shape == (2, 3, 5)
+
+    class Broken:
+        def mmr(self, temps, pressures_cgs):
+            return temps
+
+        def layer_mmr_interp(self, pressures_cgs):
+            raise AttributeError("typo'd internal attribute")
+
+    with pytest.raises(AttributeError, match="typo"):
+        hot_loop_mmr_fn(Broken(), press)
+
+    # exact-mode FastChemJAX: supports_layer_factoring() is False, so
+    # dispatch returns the generic binding WITHOUT calling
+    # layer_mmr_interp (which would raise)
+    m_bar = 2.4 * 1.67262192369e-24
+    exact = FastChemJAX(["1H2-16O"], m_bar, mode="exact")
+    assert not exact.supports_layer_factoring()
+    hot_loop_mmr_fn(exact, press)    # must not raise

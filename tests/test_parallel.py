@@ -281,3 +281,49 @@ def test_ensemble_loop_engine_columns_mesh(setup):
                        SolverConfig(n_timesteps=2,
                                     engine="pallas-loop-interpret"),
                        mesh=make_mesh(4, 2))
+
+
+def test_ensemble_table_chemistry_uses_factored_path(setup):
+    """solve_ensemble with table-mode equilibrium chemistry must (a)
+    match independent single-column solves and (b) actually route
+    through the layer-factored evaluator — chem.mmr is replaced with a
+    bomb, so any per-iteration 2-D table gather in the ensemble plane
+    would explode (the hot-loop dispatch regression found in round-3
+    review: api.Grid was factored but solve_ensemble still gathered)."""
+    from frei_tpu.chemistry.fastchem import FastChemJAX
+    from frei_tpu.rt.solver import solve_rc
+
+    planet, grid = setup
+    chem = FastChemJAX(grid.opacities.species, planet.m_bar,
+                       mode="table", grid_shape=(12, 8))
+    T0 = _ensemble_inputs(grid, 8)
+    cfg = SolverConfig(n_timesteps=2)
+
+    # reference: grid-path per-column solves with the same chemistry
+    from frei_tpu.opacity.tables import (kappa_from_layer_tables,
+                                         make_layer_tables)
+    lt = make_layer_tables(grid.opacities, grid._consts.pressures)
+    mmr_fn = chem.layer_mmr_interp(grid._consts.pressures)
+
+    def kappa_all(temps, pressures):
+        del pressures
+        k, _ = kappa_from_layer_tables(lt, mmr_fn(temps), temps,
+                                       grid._consts.sigma_scat)
+        return k
+
+    refs = [solve_rc(jnp.asarray(T0[c]), grid._consts,
+                     planet.physics_params(), kappa_all, cfg)
+            for c in (0, 5)]
+
+    def bomb(*a, **k):
+        raise AssertionError("generic chem.mmr called in the ensemble "
+                             "hot loop — layer factoring not used")
+    chem.mmr = bomb
+
+    res = solve_ensemble(jnp.asarray(T0), grid._consts,
+                         planet.physics_params(), grid.opacities,
+                         chem, cfg, mesh=make_mesh(8, 1))
+    for c, one in zip((0, 5), refs):
+        np.testing.assert_allclose(res.flux[c], one.flux, rtol=1e-6)
+        np.testing.assert_allclose(res.final_temps[c], one.final_temps,
+                                   rtol=1e-6)

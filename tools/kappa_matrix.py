@@ -71,9 +71,10 @@ def main():
     for bc in [int(b) for b in args.blocks.split(",")]:
         for mode in args.modes.split(","):
             sp.set_kappa_dot_mode(mode)
-            # distinct static cfg per (mode, bc) so the jit cache
-            # cannot serve a stale lowering (mode is read at trace
-            # time, not part of the cache key)
+            # _KAPPA_DOT_MODE is read at trace time and is NOT part of
+            # the jit cache key — the clear_cache() below is what
+            # forces a fresh lowering per mode; without it every mode
+            # after the first silently re-times the first lowering
             cfg = SolverConfig(n_timesteps=args.iters,
                                n_zero_crossings=10 ** 6,
                                convergence_dT=0.0,
