@@ -112,7 +112,7 @@ def make_resort_rebin_matmul(x, edges, *, tile=None, span_pad=None):
         # non-uniform bin densities (e.g. log edges over linear x)
         # can blow up the padded span; shrink the tile until the
         # matmul padding is bounded
-        while span > 512 and tile > 4096:
+        while span > 512 and tile > 512:
             tile //= 2
             seg_t, b0, span = tiling(tile)
     else:
@@ -161,4 +161,8 @@ def make_resort_rebin_matmul(x, edges, *, tile=None, span_pad=None):
             (jnp.moveaxis(v, 1, 0), seg_t_dev, w_dev, b0_dev))
         return acc[:, :n_bins].reshape(batch + (n_bins,))
 
+    # introspection for tests / tuning
+    fn.tile = tile
+    fn.span_pad = span_pad
+    fn.n_tiles = n_tiles
     return fn

@@ -194,3 +194,25 @@ def test_matmul_engine_degenerate_cases():
         jnp.asarray(vals, jnp.float64)))
     np.testing.assert_allclose(got, want, rtol=1e-10,
                                atol=1e-10 * max(np.abs(want).max(), 1e-30))
+
+
+def test_matmul_engine_auto_tile_bounds_span():
+    """Log-spaced edges over linearly-spaced samples give very few
+    samples per bin at short wavelengths; the factory must shrink its
+    tile until the padded per-tile bin span is bounded (<= 640 incl.
+    the 128-lane rounding) instead of paying a huge dense-matmul pad,
+    and stay exact while doing it."""
+    from frei_tpu.ops.rebin_matmul import make_resort_rebin_matmul
+
+    rng = np.random.RandomState(9)
+    x = np.linspace(0.5, 10.0, 20000)
+    edges = np.geomspace(0.5, 10.0, 1001)
+    fn = make_resort_rebin_matmul(x, edges)
+    assert fn.span_pad <= 640, (fn.tile, fn.span_pad)
+    vals = rng.rand(3, 20000)
+    want = np.asarray(resort_rebin(
+        jnp.asarray(vals, jnp.float64), jnp.asarray(x),
+        jnp.asarray(edges)))
+    got = np.asarray(fn(jnp.asarray(vals, jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-10,
+                               atol=1e-10 * np.abs(want).max())
