@@ -21,8 +21,7 @@ from . import units
 from .chemistry.mocks import MockChemistry
 from .grids import RTGrid, make_rt_grid
 from .opacity.rayleigh import rayleigh_total
-from .opacity.tables import (OpacityStack, kappa_from_stack,
-                             make_opacity_stack)
+from .opacity.tables import OpacityStack, make_opacity_stack
 from .rt.physics import PhysicsParams
 from .rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
 from .stellar.irradiation import f_toa_np
@@ -204,7 +203,7 @@ class Grid:
     # -- opacity / chemistry loading --------------------------------------
     def load_opacities(self, species=None, path=None, opacities=None,
                        chemistry=None, force_reload=False,
-                       groupies=True):
+                       groupies=True, engine="auto"):
         """Attach binned opacities (reference `core.py:198-231`).
 
         ``opacities`` may be an :class:`OpacityStack` or a dict of
@@ -224,12 +223,16 @@ class Grid:
         FastChem-equivalent solver in table mode, "equilibrium-exact"
         for the per-call exact solver, or any object with an
         ``mmr(temps, pressures_cgs)`` method.
+
+        ``engine`` selects the rebin kernel for the ETL path ("auto" =
+        backend-dispatched: block-banded matmul on TPU, threaded C++
+        on CPU hosts; see ``opacity.etl.resolve_rebin_engine``).
         """
         if (self.opacities is None and opacities is None) or force_reload:
             from .opacity.etl import binned_opacity_stack
             self.opacities = binned_opacity_stack(
                 self.rt_grid, species=species, path=path,
-                dtype=self.dtype, groupies=groupies
+                dtype=self.dtype, groupies=groupies, engine=engine
             )
         elif opacities is not None:
             if isinstance(opacities, OpacityStack):
@@ -269,52 +272,13 @@ class Grid:
                          self.planet.a_rstar),
                 self.dtype),
         )
-        stack_ref = stack
-        chem_ref = self.chemistry
-        sigma_dev = self._consts.sigma_scat
-
-        if stack.values.shape[1] > 1:
-            # The solver only ever looks up kappa on the fixed layer
-            # pressures — hoist the P-interpolation out of the hot
-            # loop entirely (see LayerKappaTables).
-            from .opacity.tables import (kappa_from_layer_tables,
-                                         layer_interp_weights,
-                                         make_layer_tables)
-            lt = make_layer_tables(stack, self._consts.pressures)
-            press = self._consts.pressures
-
-            # Table-mode chemistry gets the same treatment as the
-            # opacity tables: P-interpolate once onto the layer grid,
-            # 1-D T-interpolate per iteration as a gather-free one-hot
-            # contraction (FastChemJAX.layer_mmr_interp — the 2-D
-            # table gathers otherwise dominate the chemistry-in-loop
-            # solve).  Mock / exact-mode chemistry keeps the generic
-            # mmr(T, P) call.
-            from .chemistry.fastchem import hot_loop_mmr_fn
-            mmr_fn = hot_loop_mmr_fn(chem_ref, press)
-
-            def kappa_all(temps, pressures):
-                del pressures  # fixed to the layer grid by design
-                k, _ = kappa_from_layer_tables(lt, mmr_fn(temps),
-                                               temps, sigma_dev)
-                return k
-
-            def _ohs(temps):
-                return layer_interp_weights(lt, mmr_fn(temps), temps)
-
-            # fused-kappa hook for the Pallas sweep kernels; NOTE the
-            # kernels add sigma themselves, so the weights exclude it
-            kappa_all.layer_parts = (_ohs, lt.tab)
-            # whole-iteration kernel hook (ops.iteration_pallas)
-            kappa_all.iteration_hook = (lt.temps, lt.tab, chem_ref)
-        else:
-            def kappa_all(temps, pressures):
-                mmr = chem_ref.mmr(temps, pressures)
-                k, _ = kappa_from_stack(stack_ref, mmr, temps, pressures,
-                                        sigma_dev)
-                return k
-
-        self._kappa_fn = kappa_all
+        # Single shared wiring of the hot-loop kappa/chemistry model
+        # (layer-factored tables + Pallas engine hooks) — see
+        # opacity/hotpath.py for why this must not be hand-rolled.
+        from .opacity.hotpath import build_kappa_model
+        self._kappa_fn = build_kappa_model(
+            stack, self.chemistry, self._consts.pressures,
+            self._consts.sigma_scat)
 
     # -- the solve ---------------------------------------------------------
     def emission_spectrum(self, n_timesteps=1, n_zero_crossings=2,

@@ -316,8 +316,26 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
         np.asarray(rt_grid.pressures_bar)
 
 
+def resolve_rebin_engine(engine: str = "auto") -> str:
+    """Resolve ``engine='auto'`` by backend: the scatter-free matmul
+    formulation on TPU (XLA scatters crawl there; the block-banded
+    matmul rides the MXU — ops/rebin_matmul.py), threaded C++ on CPU
+    hosts (no accelerator round-trip; measured 0.55 Gsamples/s,
+    docs/opacities.md).  A backend that fails to initialize (e.g. a
+    downed hosted-TPU service) falls back to native so ETL — a pure
+    host pipeline at heart — keeps working."""
+    if engine != "auto":
+        return engine
+    import jax
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return "native"
+    return "matmul" if backend in ("tpu", "axon") else "native"
+
+
 def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
-                          engine="xla", cache=True, groupies=True):
+                          engine="auto", cache=True, groupies=True):
     """Rebin every available species store onto the run grids.
 
     Returns ``{isotopologue: (values, temps_K, press_bar)}`` suitable
@@ -325,10 +343,11 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
     Equivalent of the reference ``binned_opacity`` (`opacity.py:66-170`)
     with device kernels and a binned-result disk cache.
 
-    ``engine``: "xla" (segment-sum, any backend), "matmul" (scatter-free
-    block-banded MXU formulation, fastest on TPU — see
-    ``ops/rebin_matmul.py``), "pallas" (TPU kernel), or "native"
-    (threaded C++, best for host-only many-core ETL).
+    ``engine``: "auto" (backend-dispatched, see
+    :func:`resolve_rebin_engine`), "xla" (segment-sum, any backend),
+    "matmul" (scatter-free block-banded MXU formulation, the TPU
+    choice — see ``ops/rebin_matmul.py``), "pallas" (TPU kernel), or
+    "native" (threaded C++, best for host-only many-core ETL).
 
     ``groupies`` selects between the reference's two rebin semantics
     (see :func:`_rebin_store`): True = trapezoid integral x bin width x
@@ -360,6 +379,7 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
         hit = load_binned_cache(key)
         if hit is not None:
             return hit
+    engine = resolve_rebin_engine(engine)
     tables = {}
     for s in stores:
         tables[s.isotopologue] = _rebin_store(s, rt_grid, engine,
@@ -370,7 +390,7 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
 
 
 def binned_opacity_stack(rt_grid: RTGrid, species=None, path=None,
-                         engine="xla", cache=True, dtype=None,
+                         engine="auto", cache=True, dtype=None,
                          groupies=True):
     """binned_opacity_tables -> OpacityStack (device-resident)."""
     import jax.numpy as jnp

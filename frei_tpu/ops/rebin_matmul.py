@@ -115,6 +115,18 @@ def make_resort_rebin_matmul(x, edges, *, tile=None, span_pad=None):
         while span > 512 and tile > 512:
             tile //= 2
             seg_t, b0, span = tiling(tile)
+        if span > 512:
+            # performance cliff, not a correctness issue: even the
+            # minimum tile straddles many bins, so each tile becomes a
+            # near-dense (tile x span_pad) matmul — surface it so ETL
+            # runs can pick a different engine instead of crawling
+            import warnings
+            warnings.warn(
+                f"rebin_matmul: per-tile bin span is {span} even at "
+                f"the minimum tile ({tile} samples) — extremely "
+                "non-uniform bin density for this x/edges pair; the "
+                "block-banded matmul degrades toward dense. Consider "
+                "engine='xla' or 'native' for this grid.", stacklevel=2)
     else:
         seg_t, b0, span = tiling(tile)
     n_tiles = seg_t.shape[0]

@@ -66,14 +66,42 @@ __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
 #: drops only the lo*lo term).
 _KAPPA_DOT_MODE = os.environ.get("FREI_KAPPA_DOT", "batched")
 
+_KAPPA_DOT_MODES = ("batched", "perlayer", "padk", "bf16", "bf16x2")
+
+
+def _warn_nonbatched(mode: str, source: str) -> None:
+    # Non-default lowerings are experiment-matrix datapoints; "bf16"
+    # in particular is NOT parity-safe (~0.7% kappa error).  The mode
+    # is a trace-time module global (not part of the jit cache key),
+    # so a stray setting would otherwise degrade production numerics
+    # with no trail — be loud.
+    import warnings
+    warnings.warn(
+        f"{source} selects non-default kappa-contraction lowering "
+        f"{mode!r} (experiment-only; 'bf16' breaks float32 parity). "
+        "Takes effect at the NEXT trace only — already-compiled "
+        "solves keep their lowering.", stacklevel=3)
+
+
+if _KAPPA_DOT_MODE not in _KAPPA_DOT_MODES:
+    raise ValueError(
+        f"FREI_KAPPA_DOT={_KAPPA_DOT_MODE!r}: unknown kappa dot mode "
+        f"(expected one of {_KAPPA_DOT_MODES})")
+if _KAPPA_DOT_MODE != "batched":
+    _warn_nonbatched(_KAPPA_DOT_MODE, "env FREI_KAPPA_DOT")
+
 
 def set_kappa_dot_mode(mode: str) -> None:
     """Select the in-kernel kappa-contraction lowering (see
     ``_KAPPA_DOT_MODE``).  Takes effect at the next trace; callers
-    must clear jit caches (or use fresh configs) between modes."""
+    must clear jit caches (or use fresh configs) between modes.
+    Non-'batched' modes warn: they exist for the lowering experiment
+    matrix (tools/kappa_matrix.py), not production."""
     global _KAPPA_DOT_MODE
-    if mode not in ("batched", "perlayer", "padk", "bf16", "bf16x2"):
+    if mode not in _KAPPA_DOT_MODES:
         raise ValueError(f"unknown kappa dot mode {mode!r}")
+    if mode != "batched":
+        _warn_nonbatched(mode, "set_kappa_dot_mode")
     _KAPPA_DOT_MODE = mode
 
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..opacity.tables import OpacityStack, kappa_from_stack
+from ..opacity.tables import OpacityStack
 from ..rt.physics import PhysicsParams
 from ..rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
 from .mesh import BINS, COLUMNS, make_mesh
@@ -107,37 +107,13 @@ def solve_ensemble(
         mesh = make_mesh()
     consts, stack = shard_solver_inputs(mesh, consts, stack)
 
-    lt = None
-    if stack.values.shape[1] > 1:
-        # P-interpolation hoisted onto the fixed layer grid; the tab's
-        # wavelength axis inherits the stack's bins sharding.
-        from ..opacity.tables import (kappa_from_layer_tables,
-                                      layer_interp_weights,
-                                      make_layer_tables)
-        lt = make_layer_tables(stack, consts.pressures)
-        # same hot-loop chemistry as api.Grid: layer-factored table
-        # evaluator when the model supports it (the chem tables are
-        # replicated, so the factored closure is shard-safe)
-        from ..chemistry.fastchem import hot_loop_mmr_fn
-        mmr_fn = hot_loop_mmr_fn(chem, consts.pressures)
-
-        def kappa_all(temps, pressures):
-            del pressures  # fixed to the layer grid by design
-            k, _ = kappa_from_layer_tables(lt, mmr_fn(temps), temps,
-                                           consts.sigma_scat)
-            return k
-
-        def _ohs(temps):
-            return layer_interp_weights(lt, mmr_fn(temps), temps)
-
-        kappa_all.layer_parts = (_ohs, lt.tab)
-        kappa_all.iteration_hook = (lt.temps, lt.tab, chem)
-    else:
-        def kappa_all(temps, pressures):
-            mmr = chem.mmr(temps, pressures)
-            k, _ = kappa_from_stack(stack, mmr, temps, pressures,
-                                    consts.sigma_scat)
-            return k
+    # Same shared hot-loop wiring as api.Grid (layer-factored tables +
+    # engine hooks when the stack/chemistry support them; the chem
+    # tables are replicated, so the factored closure is shard-safe).
+    from ..opacity.hotpath import build_kappa_model
+    kappa_all = build_kappa_model(stack, chem, consts.pressures,
+                                  consts.sigma_scat)
+    lt = getattr(kappa_all, "layer_tables", None)
 
     cols = NamedSharding(mesh, P(COLUMNS))
     init_temps = jax.device_put(jnp.asarray(init_temps), cols)
@@ -148,33 +124,23 @@ def solve_ensemble(
                                         or lt is not None):
         from jax import shard_map
 
-        from ..opacity.tables import (kappa_from_layer_tables,
-                                      layer_interp_weights)
+        from ..opacity.hotpath import kappa_model_from_layer_tables
 
         bins_axis = BINS if n_bins_shards > 1 else ""
         cfg_sm = cfg._replace(bins_axis=bins_axis)
 
         if lt is not None:
             lt_outer = lt
+            mmr_fn = kappa_all.mmr_fn
 
             def run(T0, consts_in, tab_in):
                 # rebuild the kappa closure over the per-shard table
-                # slice (closures may not capture sharded arrays)
-                lt_in = lt_outer._replace(tab=tab_in)
-
-                def k_all(temps, pressures):
-                    del pressures
-                    k, _ = kappa_from_layer_tables(
-                        lt_in, mmr_fn(temps), temps,
-                        consts_in.sigma_scat)
-                    return k
-
-                def _ohs_in(temps):
-                    return layer_interp_weights(
-                        lt_in, mmr_fn(temps), temps)
-
-                k_all.layer_parts = (_ohs_in, lt_in.tab)
-                k_all.iteration_hook = (lt_in.temps, lt_in.tab, chem)
+                # slice (closures may not capture sharded arrays) —
+                # through the same shared builder, so the engine hooks
+                # cannot drift from the single-process path
+                k_all = kappa_model_from_layer_tables(
+                    lt_outer._replace(tab=tab_in), mmr_fn, chem,
+                    consts_in.sigma_scat)
                 return solve_rc_batched(T0, consts_in, params, k_all,
                                         cfg_sm)
 

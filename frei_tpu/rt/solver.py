@@ -324,16 +324,39 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     # kappa_all were built from the grid's single m_bar, so varying
     # composition per column needs per-column kappa/sigma too (use
     # parallel.solve_population, which guards this).
-    def _cols(x):
+    # Normalization happens HERE, before the engine branch: size-1
+    # arrays broadcast to (B, 1) and wrong lengths fail loudly for
+    # every engine alike (a (1,)-shaped g with B > 1 columns used to
+    # be broadcast only on the xla path, while the pallas path handed
+    # make_sweep_consts a (1, 1) inv_g that mismatched the (bc, 1)
+    # BlockSpec grid — engine-dependent behavior for the same inputs).
+    def _cols(x, name):
         x = jnp.asarray(x, dtype)
-        return x.reshape(-1, 1) if x.ndim >= 1 else x
+        if x.ndim == 0:
+            return x
+        x = x.reshape(-1, 1)
+        if x.shape[0] == 1 and B > 1:
+            x = jnp.broadcast_to(x, (B, 1))
+        elif x.shape[0] != B:
+            raise ValueError(
+                f"per-column {name} has length {x.shape[0]}, expected "
+                f"{B} (one per column) or a scalar")
+        return x
 
     params = PhysicsParams(
-        g=_cols(params.g),
-        m_bar=_cols(params.m_bar),
-        alpha=_cols(params.alpha),
+        g=_cols(params.g, "params.g"),
+        m_bar=_cols(params.m_bar, "params.m_bar"),
+        alpha=_cols(params.alpha, "params.alpha"),
         n_dof=params.n_dof,
     )
+    if consts.F_toa.ndim == 2:
+        if consts.F_toa.shape[0] == 1 and B > 1:
+            consts = consts._replace(
+                F_toa=jnp.broadcast_to(consts.F_toa, (B, W)))
+        elif consts.F_toa.shape[0] != B:
+            raise ValueError(
+                f"per-column F_toa has {consts.F_toa.shape[0]} rows, "
+                f"expected {B} (one per column) or a 1-D shared row")
     per_column = (consts.F_toa.ndim == 2
                   or any(jnp.ndim(f) >= 1
                          for f in (params.g, params.m_bar, params.alpha)))

@@ -111,6 +111,54 @@ def test_native_kernel_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-6)
 
 
+def test_auto_engine_resolution(monkeypatch):
+    """engine='auto' dispatches by backend: matmul on TPU (XLA
+    scatters crawl there), native C++ on CPU hosts, with a native
+    fallback when the backend can't initialize (downed TPU service —
+    ETL is a host pipeline and must keep working)."""
+    import jax
+
+    from frei_tpu.opacity.etl import resolve_rebin_engine
+    assert resolve_rebin_engine("xla") == "xla"       # explicit wins
+    assert resolve_rebin_engine("auto") == "native"   # CPU test env
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert resolve_rebin_engine("auto") == "matmul"
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend")
+    monkeypatch.setattr(jax, "default_backend", boom)
+    assert resolve_rebin_engine("auto") == "native"
+
+
+def test_grid_load_opacities_engine_kwarg(cache_env):
+    """Grid.load_opacities threads engine= through to the ETL rebin
+    (round-3 review: the matmul engine was unreachable from the user
+    API)."""
+    from frei_tpu import Grid, Planet
+
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    make_synthetic_store(store_dir / "1H2-16O__synthetic.ftop",
+                         n_hr=20000)
+    planet = Planet.from_hot_jupiter()
+    grids = []
+    for eng in ["matmul", "xla"]:
+        # separate binned-result caches: the cache key is engine-blind
+        # (engines agree numerically), so a shared dir would serve the
+        # first engine's result to the second
+        cache_dir = cache_env / f"binned-{eng}"
+        cache_dir.mkdir()
+        os.symlink(store_dir, cache_dir / "opacities")
+        os.environ["FREI_TPU_CACHE"] = str(cache_dir)
+        g = Grid(planet, n_wl_bins=32, n_layers=4, T_ref=2400.0,
+                 dtype=jnp.float64)
+        g.load_opacities(engine=eng)
+        grids.append(g)
+    np.testing.assert_allclose(np.asarray(grids[0].opacities.values),
+                               np.asarray(grids[1].opacities.values),
+                               rtol=2e-4, atol=1e-8)
+
+
 def test_engines_agree(cache_env):
     store_dir = cache_env / "cache" / "opacities"
     store_dir.mkdir(parents=True)

@@ -1,0 +1,121 @@
+"""Silent-demotion guard: every solver entry point must advertise the
+fused-engine hooks whenever the opacity stack / chemistry support them.
+
+The hot-loop kappa/chemistry wiring used to exist in three hand-rolled
+copies; a missed ``layer_parts`` / ``iteration_hook`` attribute in one
+silently demoted that entry point to the gather path (the 1.93x
+chemistry-in-loop regression class fixed in round 3).  The wiring now
+lives in one builder (frei_tpu/opacity/hotpath.py); these tests pin
+(a) the hooks on every entry point's kappa model and (b) that the
+entry points actually route through the shared builder.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frei_tpu import Grid, Planet, load_example_opacity
+from frei_tpu.chemistry.fastchem import FastChemJAX
+from frei_tpu.opacity import hotpath
+from frei_tpu.parallel import make_mesh, solve_ensemble
+from frei_tpu.rt.solver import SolverConfig
+
+
+def _grid(chemistry=None):
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=64, n_layers=8, T_ref=2400.0,
+                dtype=jnp.float64)
+    stack = load_example_opacity(grid, scale_factor=1.0,
+                                 dtype=jnp.float64)
+    if chemistry == "equilibrium":
+        # small table: the full default (64, 32) build is a slow-lane
+        # cost; hook dispatch does not depend on table resolution
+        chemistry = FastChemJAX(stack.species, planet.m_bar,
+                                mode="table", grid_shape=(12, 8))
+    grid.load_opacities(opacities=stack, chemistry=chemistry)
+    return planet, grid
+
+
+def _assert_hooks(kappa_all):
+    ohs, tab = kappa_all.layer_parts
+    assert tab.ndim == 3            # (L, nT, W) layer table
+    temps_axis, tab2, chem = kappa_all.iteration_hook
+    assert tab2 is tab
+    assert kappa_all.layer_tables.tab is tab
+    # the attached mmr_fn must be callable on a layer-temps vector
+    L = tab.shape[0]
+    mmr = kappa_all.mmr_fn(jnp.full((L,), 2000.0))
+    assert np.all(np.isfinite(np.asarray(mmr)))
+
+
+@pytest.mark.parametrize("chemistry", [None, "equilibrium"])
+def test_grid_kappa_model_advertises_hooks(chemistry):
+    _, grid = _grid(chemistry)
+    _assert_hooks(grid._kappa_fn)
+
+
+def test_equilibrium_grid_uses_layer_factored_chemistry():
+    """Table-mode FastChem must reach the hot loop through the
+    gather-free layer-factored evaluator, not the generic mmr()."""
+    _, grid = _grid("equilibrium")
+    chem = grid.chemistry
+    assert isinstance(chem, FastChemJAX) and chem.supports_layer_factoring()
+    press = grid._consts.pressures
+    T = jnp.full(press.shape, 2100.0)
+    np.testing.assert_allclose(
+        np.asarray(grid._kappa_fn.mmr_fn(T)),
+        np.asarray(chem.layer_mmr_interp(press)(T)), rtol=1e-12)
+
+
+def test_entry_points_route_through_shared_builder(monkeypatch):
+    """api.Grid and parallel.solve_ensemble (outer + in-shard rebuild)
+    must construct their kappa models via opacity.hotpath — a
+    hand-rolled copy would dodge this recorder and fail."""
+    calls = []
+    real_build = hotpath.build_kappa_model
+    real_from_lt = hotpath.kappa_model_from_layer_tables
+
+    def rec_build(*a, **kw):
+        out = real_build(*a, **kw)
+        calls.append(("build", hasattr(out, "layer_parts")))
+        return out
+
+    def rec_from_lt(*a, **kw):
+        out = real_from_lt(*a, **kw)
+        calls.append(("rebuild", hasattr(out, "layer_parts")))
+        return out
+
+    monkeypatch.setattr(hotpath, "build_kappa_model", rec_build)
+    monkeypatch.setattr(hotpath, "kappa_model_from_layer_tables",
+                        rec_from_lt)
+
+    planet, grid = _grid()
+    assert ("build", True) in calls
+    calls.clear()
+
+    base = np.asarray(grid.rt_grid.init_temperatures)
+    T0 = jnp.asarray(np.stack([base, base * 1.02]))
+    solve_ensemble(T0, grid._consts, planet.physics_params(),
+                   grid.opacities, grid.chemistry,
+                   SolverConfig(n_timesteps=1, engine="pallas-interpret"),
+                   mesh=make_mesh(2, 1, devices=jax.devices()[:2]))
+    assert ("build", True) in calls          # outer wiring
+    assert ("rebuild", True) in calls        # in-shard rebuild
+
+
+def test_single_T_point_stack_falls_back():
+    """A stack with one temperature sample has nothing to factor: the
+    builder must return the generic path without engine hooks."""
+
+    _, grid = _grid()
+    stack = grid.opacities
+    one_t = stack._replace(values=stack.values[:, :1],
+                           temps=stack.temps[:1])
+    k = hotpath.build_kappa_model(one_t, grid.chemistry,
+                                  grid._consts.pressures,
+                                  grid._consts.sigma_scat)
+    assert not hasattr(k, "layer_parts")
+    out = k(jnp.full(grid._consts.pressures.shape, 2000.0),
+            grid._consts.pressures)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -131,6 +131,39 @@ def test_batched_solver_pallas_engine_trajectory(setup, engine):
                                   np.asarray(pal.n_iterations))
 
 
+def test_size1_per_column_params_engine_agnostic(setup):
+    """Size-1 per-column arrays (a (1,) g, a (1, W) F_toa) with B > 1
+    columns must mean the same thing on every engine: broadcast to all
+    columns.  They used to be broadcast only on the xla path, while
+    the pallas path handed make_sweep_consts an unbroadcast (1, 1)
+    inv_g that mismatched its (bc, 1) BlockSpec grid (advisor
+    finding, round 3).  Wrong lengths must fail loudly everywhere."""
+    planet, grid, params, T, *_ = setup
+    consts = grid._consts
+    p0 = planet.physics_params()
+    par1 = PhysicsParams(g=jnp.asarray([p0.g]), m_bar=p0.m_bar,
+                         alpha=jnp.asarray([p0.alpha]), n_dof=p0.n_dof)
+    consts1 = consts._replace(F_toa=consts.F_toa[None, :])
+    cfg = dict(n_timesteps=4)
+    xla = solve_rc_batched(T, consts1, par1, grid._kappa_fn,
+                           SolverConfig(engine="xla", **cfg))
+    pal = solve_rc_batched(T, consts1, par1, grid._kappa_fn,
+                           SolverConfig(engine="pallas-interpret", **cfg))
+    # shared-scalar reference: identical physics, non-population path
+    ref = solve_rc_batched(T, consts, p0, grid._kappa_fn,
+                           SolverConfig(engine="xla", **cfg))
+    np.testing.assert_allclose(np.asarray(ref.flux), np.asarray(xla.flux),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(xla.flux), np.asarray(pal.flux),
+                               rtol=1e-7)
+    bad = PhysicsParams(g=jnp.full(3, p0.g), m_bar=p0.m_bar,
+                        alpha=p0.alpha, n_dof=p0.n_dof)
+    for engine in ["xla", "pallas-interpret"]:
+        with pytest.raises(ValueError, match="per-column params.g"):
+            solve_rc_batched(T, consts, bad, grid._kappa_fn,
+                             SolverConfig(engine=engine, **cfg))
+
+
 def test_layer_tables_match_bilinear(setup):
     """P-interp hoisting reproduces the 4-corner bilinear kappa,
     including out-of-hull zeros."""
