@@ -51,7 +51,8 @@ from ..rt.physics import PhysicsParams
 from .twostream import expm1_series, two_stream_couplers_g0
 
 __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
-           "absorb_sweep_pallas", "set_kappa_dot_mode"]
+           "absorb_sweep_pallas", "set_kappa_dot_mode",
+           "set_planck_mode"]
 
 #: In-kernel kappa-contraction lowering variant.  "batched" (default)
 #: is the production path: one layer-batched f32 dot at HIGHEST
@@ -70,17 +71,18 @@ _KAPPA_DOT_MODES = ("batched", "perlayer", "padk", "bf16", "bf16x2")
 
 
 def _warn_nonbatched(mode: str, source: str) -> None:
-    # Non-default lowerings are experiment-matrix datapoints; "bf16"
-    # in particular is NOT parity-safe (~0.7% kappa error).  The mode
-    # is a trace-time module global (not part of the jit cache key),
-    # so a stray setting would otherwise degrade production numerics
-    # with no trail — be loud.
+    # Non-default lowerings are experiment-matrix datapoints and not
+    # parity-grade (kappa 'bf16' has ~0.7% error; planck 'table' has
+    # the table's interpolation error).  The mode is a trace-time
+    # module global (not part of the jit cache key), so a stray
+    # setting would otherwise degrade production numerics with no
+    # trail — be loud.
     import warnings
     warnings.warn(
-        f"{source} selects non-default kappa-contraction lowering "
-        f"{mode!r} (experiment-only; 'bf16' breaks float32 parity). "
-        "Takes effect at the NEXT trace only — already-compiled "
-        "solves keep their lowering.", stacklevel=3)
+        f"{source} selects non-default kernel lowering {mode!r} "
+        "(experiment-only; NOT the parity path). Takes effect at the "
+        "NEXT trace only — already-compiled solves keep their "
+        "lowering.", stacklevel=3)
 
 
 if _KAPPA_DOT_MODE not in _KAPPA_DOT_MODES:
@@ -105,6 +107,53 @@ def set_kappa_dot_mode(mode: str) -> None:
     _KAPPA_DOT_MODE = mode
 
 
+#: In-kernel Planck-radiance evaluation.  "direct" (production): one
+#: expm1_series + divide per (bc, W) layer row.  "table": B(T, lam)
+#: precomputed on a log-T grid (make_sweep_consts) and evaluated
+#: in-kernel as a gather-free one-hot T-contraction — the round-4
+#: bounded experiment asking whether the transcendental block can ride
+#: the matrix unit the way kappa's contraction was measured NOT to
+#: (docs/design-notes.md kappa lowering matrix).  Linear-in-logT
+#: interpolation error is ~2.8e-5 of the per-T spectral peak at
+#: n=1024 and scales as 1/n^2 (measured; ~4.4e-7 at n=8192), so
+#: "table" at the default size is an experiment-grade approximation,
+#: NOT the parity path.
+_PLANCK_MODE = "direct"
+_PLANCK_TABLE_N = 1024
+#: log-T table span [K]; clamped (flat) outside.
+_PLANCK_T_RANGE = (400.0, 6500.0)
+
+
+def set_planck_mode(mode: str, n_table: int = 1024) -> None:
+    """Select the in-kernel Planck evaluation ("direct" | "table").
+    Trace-time module global like :func:`set_kappa_dot_mode` — same
+    caveats, same experiment-only status for the non-default mode."""
+    global _PLANCK_MODE, _PLANCK_TABLE_N
+    if mode not in ("direct", "table"):
+        raise ValueError(f"unknown planck mode {mode!r}")
+    if mode != "direct":
+        _warn_nonbatched(mode, "set_planck_mode")
+    _PLANCK_MODE = mode
+    _PLANCK_TABLE_N = int(n_table)
+
+
+def _planck_table(lam_row, n, dtype):
+    """(n, W) Planck radiances on the static log-T grid, plus the
+    (lt0, inv_dlt) index transform (position = (ln T - lt0) * inv_dlt).
+    Built ONCE per solve in make_sweep_consts — never inside the
+    iteration loop."""
+    import numpy as np
+    t0, t1 = _PLANCK_T_RANGE
+    lt0 = float(np.log(t0))
+    dlt = (float(np.log(t1)) - lt0) / (n - 1)
+    tgrid = jnp.exp(lt0 + dlt * jnp.arange(n, dtype=jnp.float64))
+    lam = lam_row.reshape(-1).astype(jnp.float64)
+    c1 = 2.0 * const.h * const.c ** 2 / lam ** 4
+    tab = (c1 / lam) / jnp.expm1(
+        const.hc_over_k / (lam[None, :] * tgrid[:, None]))
+    return tab.astype(dtype), (lt0, 1.0 / dlt)
+
+
 class SweepConsts(NamedTuple):
     """Device-resident per-configuration constants for the fused
     sweep kernels (all rows shaped (1, N) for TPU layout).
@@ -126,6 +175,9 @@ class SweepConsts(NamedTuple):
     tw: jnp.ndarray          # (1, W) trapezoid quadrature weights
     inv_g: jnp.ndarray = None  # (B, 1) per-column 1/g, or None (shared
     #                            g folded into the dtf rows)
+    planck_tab: jnp.ndarray = None  # (nT, W) log-T Planck table, only
+    #                            under the experimental "table" mode
+    planck_idx: tuple = None   # static (lt0, inv_dlt) index transform
 
 
 def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
@@ -160,6 +212,10 @@ def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
     f_toa = consts.F_toa
     if f_toa.ndim == 1:
         f_toa = f_toa[None, :]
+    planck_tab, planck_idx = (None, None)
+    if _PLANCK_MODE == "table":
+        planck_tab, planck_idx = _planck_table(lam, _PLANCK_TABLE_N,
+                                               dtype)
     return SweepConsts(
         dtf_emit=dtf_e,
         dtf_absorb=dtf_a,
@@ -168,6 +224,8 @@ def make_sweep_consts(consts, params: PhysicsParams) -> SweepConsts:
         f_toa=f_toa,
         tw=consts.trapz_w[None, :],
         inv_g=inv_g,
+        planck_tab=planck_tab,
+        planck_idx=planck_idx,
     )
 
 
@@ -181,7 +239,7 @@ def _planck_row(c1, xrow, T_col):
     return c1 / expm1_series(xrow * (1.0 / T_col))
 
 
-def _unpack(refs, fused, col_g):
+def _unpack(refs, fused, col_g, planck=None):
     """Kernel ref unpacking for the two kappa modes: ``fused`` swaps
     the (bc, L, W) opacity slab input for the (bc, L, K) T-interp
     weight rows + the VMEM-resident (L, K, W) layer tables — the
@@ -190,7 +248,10 @@ def _unpack(refs, fused, col_g):
     applied in-kernel so the solver never runs a separate
     (columns, layers, bins) select pass.  ``col_g`` inserts the
     per-column (bc, 1) 1/g block after ``done_ref`` and turns the
-    per-layer dtau factor into a (bc, 1) broadcast."""
+    per-layer dtau factor into a (bc, 1) broadcast.  ``planck`` =
+    static (lt0, inv_dlt) selects the experimental table-contraction
+    Planck evaluation (an extra (nT, W) VMEM table ref follows the
+    kappa refs); None = direct expm1 evaluation (production)."""
     refs = list(refs)
     dtf_ref, done_ref = refs[0], refs[1]
     rest = refs[2:]
@@ -204,15 +265,46 @@ def _unpack(refs, fused, col_g):
         def dt_fac(i):
             return dtf_ref[0, i]                      # scalar
     if fused:
-        (temps_ref, ohs_ref, tab_ref, fu_ref, fd_ref,
-         lam_ref, sig_ref, ftoa_ref, tw_ref,
-         fu_out, fd_out, sums_ref) = rest
+        (temps_ref, ohs_ref, tab_ref, *rest) = rest
     else:
-        (temps_ref, k_ref, fu_ref, fd_ref,
-         lam_ref, sig_ref, ftoa_ref, tw_ref,
-         fu_out, fd_out, sums_ref) = rest
+        (temps_ref, k_ref, *rest) = rest
+    ptab_ref = None
+    if planck is not None:
+        ptab_ref, rest = rest[0], rest[1:]
+    (fu_ref, fd_ref, lam_ref, sig_ref, ftoa_ref, tw_ref,
+     fu_out, fd_out, sums_ref) = rest
     sig = sig_ref[0, :][None, :]
     done = done_ref[:, :] > 0.0                       # (bc, 1)
+
+    lam = lam_ref[0, :][None, :]
+    if planck is None:
+        c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
+        xrow = const.hc_over_k / lam      # hoisted Planck argument
+
+        def planck_row(T_col):
+            return _planck_row(c1, xrow, T_col)
+    else:
+        lt0, inv_dlt = planck
+        nTp = ptab_ref.shape[0]
+
+        def planck_row(T_col):
+            # one-hot linear interpolation on the static log-T grid:
+            # 2 nonzero weights per row, evaluated as a dense
+            # (bc, nT) x (nT, W) contraction (the experiment's point)
+            t = jnp.clip((jnp.log(T_col) - lt0) * inv_dlt,
+                         0.0, nTp - 1.0)
+            i0 = jnp.minimum(jnp.floor(t), nTp - 2.0)
+            f = t - i0
+            i0i = i0.astype(jnp.int32)                # (bc, 1)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (T_col.shape[0], nTp), 1)
+            w = (jnp.where(iota == i0i, 1.0 - f, 0.0)
+                 + jnp.where(iota == i0i + 1, f, 0.0))
+            return jax.lax.dot_general(
+                w.astype(ptab_ref.dtype), ptab_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=ptab_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST)
 
     if fused:
         mode = _KAPPA_DOT_MODE
@@ -268,11 +360,12 @@ def _unpack(refs, fused, col_g):
     else:
         def k_row(l):
             return k_ref[:, l, :]
-    return (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref,
+    return (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, planck_row,
             sig, ftoa_ref, tw_ref, fu_out, fd_out, sums_ref)
 
 
-def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
+def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False,
+                 planck=None):
     """One bottom-to-top emission sweep for a block of columns
     (reference `twostream.py:290-421`, ordering per rt.sweeps).
 
@@ -280,12 +373,9 @@ def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
     one (bc, W) -> (bc,) quadrature reduction; measured faster than a
     fully slab-vectorized formulation (whose boundary concatenates
     copy whole (bc, L, W) slabs in VMEM)."""
-    (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+    (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, planck_row, sig,
      ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(
-         refs, fused, col_g)
-    lam = lam_ref[0, :][None, :]
-    c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
-    xrow = const.hc_over_k / lam              # hoisted Planck argument
+         refs, fused, col_g, planck)
     tw = tw_ref[0, :][None, :]
 
     # Untouched rows (`twostream.py:356,392-393`).
@@ -294,7 +384,7 @@ def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
     fd_out[:, 0, :] = fd_ref[:, 0, :]
 
     z = fu_ref[:, 1, :]                       # F_1_up carry
-    B1 = _planck_row(c1, xrow, temps_ref[:, 1][:, None])
+    B1 = planck_row(temps_ref[:, 1][:, None])
     sz = None
     for i in range(L - 1):
         l = i + 1                             # swept layer
@@ -302,7 +392,7 @@ def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
         dtau = kk * dt_fac(i)
         om = sig / (sig + kk)
         if i < L - 2:
-            B2 = _planck_row(c1, xrow, temps_ref[:, l + 1][:, None])
+            B2 = planck_row(temps_ref[:, l + 1][:, None])
             F2d = fd_ref[:, l + 1, :]
         elif col_ftoa:
             B2 = B1                           # T2 = T[-1] at the top
@@ -330,29 +420,27 @@ def _emit_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
         B1 = B2
 
 
-def _absorb_kernel(*refs, L, fused, col_g=False, col_ftoa=False):
+def _absorb_kernel(*refs, L, fused, col_g=False, col_ftoa=False,
+                   planck=None):
     """One top-to-bottom absorption sweep for a block of columns
     (reference `twostream.py:424-550`, ordering per rt.sweeps)."""
     del col_ftoa  # F_TOA enters absorb only via the F_down state
-    (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, lam_ref, sig,
+    (dt_fac, done, temps_ref, k_row, fu_ref, fd_ref, planck_row, sig,
      _ftoa_ref, tw_ref, fu_out, fd_out, sums_ref) = _unpack(
-         refs, fused, col_g)
-    lam = lam_ref[0, :][None, :]
-    c1 = 2.0 * const.h * const.c ** 2 / lam ** 5
-    xrow = const.hc_over_k / lam
+         refs, fused, col_g, planck)
     tw = tw_ref[0, :][None, :]
 
     fu_out[:, 0, :] = fu_ref[:, 0, :]
     fd_out[:, L - 1, :] = fd_ref[:, L - 1, :]
 
     d = fd_ref[:, L - 1, :]                   # F_2_down carry
-    B2 = _planck_row(c1, xrow, temps_ref[:, L - 1][:, None])
+    B2 = planck_row(temps_ref[:, L - 1][:, None])
     sd = None
     for i in range(L - 2, -1, -1):
         kk = k_row(i)
         dtau = kk * dt_fac(i)
         om = sig / (sig + kk)
-        B1 = _planck_row(c1, xrow, temps_ref[:, i][:, None])
+        B1 = planck_row(temps_ref[:, i][:, None])
         cp = two_stream_couplers_g0(dtau, om, B1, B2,
                                     expm1=expm1_series)
         F1u = fu_ref[:, i, :]                 # stale upward flux
@@ -440,12 +528,20 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         kappa_args = (kappa,)
     invg_specs = [col()] if col_g else []
     invg_args = (inv_g,) if col_g else ()
+    if sc.planck_tab is not None:
+        nTp = sc.planck_tab.shape[0]
+        planck_specs = [pl.BlockSpec((nTp, W), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+        planck_args = (sc.planck_tab,)
+        planck = sc.planck_idx
+    else:
+        planck_specs, planck_args, planck = [], (), None
     ftoa_spec = (pl.BlockSpec((bc, W), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
                  if col_ftoa else vec())
     out = pl.pallas_call(
         partial(kernel, L=L, fused=fused, col_g=col_g,
-                col_ftoa=col_ftoa),
+                col_ftoa=col_ftoa, planck=planck),
         grid=(Bp // bc,),
         in_specs=[
             pl.BlockSpec((1, L - 1), lambda i: (0, 0),
@@ -455,6 +551,7 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
             pl.BlockSpec((bc, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *kappa_specs,
+            *planck_specs,
             slab(), slab(),
             vec(), vec(), ftoa_spec, vec(),
         ],
@@ -471,8 +568,8 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(dtf, done_col, *invg_args, temps, *kappa_args, F_up, F_down,
-      sc.lam, sc.sigma, f_toa, sc.tw)
+    )(dtf, done_col, *invg_args, temps, *kappa_args, *planck_args,
+      F_up, F_down, sc.lam, sc.sigma, f_toa, sc.tw)
     F_up_new, F_down_new, sums = out
     if pad:
         F_up_new = F_up_new[:B]

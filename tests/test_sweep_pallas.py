@@ -164,6 +164,36 @@ def test_size1_per_column_params_engine_agnostic(setup):
                              SolverConfig(engine=engine, **cfg))
 
 
+def test_planck_table_mode_bounded_error(setup):
+    """Experimental in-kernel Planck-by-table evaluation (round-4
+    bounded experiment): single-step flux agrees with the direct
+    expm1 path within the table's measured interpolation error
+    (linear-in-logT, ~1.8e-6 of peak at n=4096 — NOT the 3e-7 parity
+    grade; the mode is experiment-only and warns on selection)."""
+    import warnings
+
+    import frei_tpu.ops.sweep_pallas as sp
+
+    planet, grid, params, T, *_ = setup
+    consts = grid._consts
+    cfg = SolverConfig(n_timesteps=1, engine="pallas-interpret")
+    ref = solve_rc_batched(T, consts, planet.physics_params(),
+                           grid._kappa_fn, cfg)
+    jax.clear_caches()     # the mode is trace-time module state
+    with pytest.warns(UserWarning, match="planck"):
+        sp.set_planck_mode("table", 4096)
+    try:
+        tab = solve_rc_batched(T, consts, planet.physics_params(),
+                               grid._kappa_fn, cfg)
+    finally:
+        sp.set_planck_mode("direct")
+        jax.clear_caches()
+    pk = float(np.abs(np.asarray(ref.flux)).max())
+    diff = float(np.abs(np.asarray(ref.flux)
+                        - np.asarray(tab.flux)).max()) / pk
+    assert 0 < diff < 5e-6   # 0 would mean the mode never engaged
+
+
 def test_layer_tables_match_bilinear(setup):
     """P-interp hoisting reproduces the 4-corner bilinear kappa,
     including out-of-hull zeros."""
