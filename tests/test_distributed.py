@@ -15,6 +15,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 
 _WORKER = r"""
@@ -129,6 +131,7 @@ for mesh_shape in [(4, 1), (2, 2)]:
 """
 
 
+@pytest.mark.slow   # spawns 2 jax.distributed processes
 def test_two_process_sharded_solve():
     """A REAL cross-process solve: both controllers build the global
     ('columns', 'bins') mesh over all 4 devices, run ``solve_ensemble``

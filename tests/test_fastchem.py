@@ -106,6 +106,7 @@ def test_unknown_species_raises():
         FastChemJAX(["Xx9"], 1.0, mode="exact")
 
 
+@pytest.mark.slow   # chem table build + dense T sweep
 def test_layer_mmr_interp_matches_generic_path():
     """The hot-loop layer-factored MMR evaluator (P-interp hoisted,
     one-hot T contraction) equals the generic bilinear table path
@@ -171,6 +172,7 @@ def test_residual_history_convergence():
     assert r[-1] < r[0] * 1e-6         # actually converging, not stuck
 
 
+@pytest.mark.slow   # full-grid table build
 def test_table_mode_reports_convergence():
     m_bar = 2.4 * 1.67262192369e-24
     chem = FastChemJAX(["1H2-16O"], m_bar, mode="table",

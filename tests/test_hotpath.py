@@ -22,17 +22,24 @@ from frei_tpu.parallel import make_mesh, solve_ensemble
 from frei_tpu.rt.solver import SolverConfig
 
 
+_SMALL_CHEM = {}
+
+
 def _grid(chemistry=None):
     planet = Planet.from_hot_jupiter()
-    grid = Grid(planet, n_wl_bins=64, n_layers=8, T_ref=2400.0,
+    grid = Grid(planet, n_wl_bins=32, n_layers=6, T_ref=2400.0,
                 dtype=jnp.float64)
     stack = load_example_opacity(grid, scale_factor=1.0,
                                  dtype=jnp.float64)
     if chemistry == "equilibrium":
-        # small table: the full default (64, 32) build is a slow-lane
-        # cost; hook dispatch does not depend on table resolution
-        chemistry = FastChemJAX(stack.species, planet.m_bar,
-                                mode="table", grid_shape=(12, 8))
+        # small table, built once per test module: the full default
+        # (64, 32) build is a slow-lane cost and hook dispatch does
+        # not depend on table resolution
+        if "chem" not in _SMALL_CHEM:
+            _SMALL_CHEM["chem"] = FastChemJAX(
+                stack.species, planet.m_bar, mode="table",
+                grid_shape=(8, 6))
+        chemistry = _SMALL_CHEM["chem"]
     grid.load_opacities(opacities=stack, chemistry=chemistry)
     return planet, grid
 

@@ -81,13 +81,12 @@ def test_early_convergence_freezing(setup):
         assert int(res.n_iterations[c]) == int(one.n_iterations)
 
 
-@pytest.mark.parametrize(
-    "mesh_shape",
-    [(8, 1),
-     # the bins-sharded variant recompiles the whole shard_map +
-     # Pallas program — slow lane (the psum path is also covered by
-     # the driver's dryrun factorization sweep)
-     pytest.param((4, 2), marks=pytest.mark.slow)])
+@pytest.mark.slow
+# each variant compiles a whole shard_map + Pallas interpret program
+# (~0.5 min) — slow lane; the fast lane keeps shard_map+pallas smoke
+# coverage via tests/test_hotpath.py and the driver's dryrun runs the
+# full factorization sweep incl. the bins psum path
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
 def test_ensemble_pallas_shard_map(setup, mesh_shape):
     """The fused Pallas engine runs per shard under shard_map on
     columns-only AND bins-sharded meshes (per-shard partial bolometric
@@ -173,6 +172,8 @@ def _population_reference(grid_kw, planets, T0, cfg):
     return out
 
 
+@pytest.mark.slow   # interpret-mode population engine (xla-engine
+# population + the dryrun population leg stay in the fast lane)
 def test_population_pallas_engine(setup):
     """Per-planet F_toa / g / alpha reach the FUSED Pallas sweep
     kernels (per-column (C, W) F_toa blocks + (C, 1) 1/g broadcast):
@@ -283,6 +284,8 @@ def test_ensemble_loop_engine_columns_mesh(setup):
                        mesh=make_mesh(4, 2))
 
 
+@pytest.mark.slow   # chem table build; fast-lane dispatch coverage
+# lives in tests/test_hotpath.py
 def test_ensemble_table_chemistry_uses_factored_path(setup):
     """solve_ensemble with table-mode equilibrium chemistry must (a)
     match independent single-column solves and (b) actually route

@@ -159,6 +159,7 @@ def test_full_golden_config_trajectory_matches_oracle():
     np.testing.assert_allclose(temps, want_T, rtol=1e-9)
 
 
+@pytest.mark.slow   # 10 K-loop float64 oracle transcription
 def test_standalone_emit_absorb_reference_conventions():
     """Standalone `emit` / `absorb` reproduce the reference's public
     call conventions (`/root/reference/frei/twostream.py:290-293,

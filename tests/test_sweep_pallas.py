@@ -114,15 +114,24 @@ def test_batched_solver_xla_engine_equals_vmap(setup):
      # fast lane as the Pallas-path representative)
      pytest.param("pallas-iteration-interpret", marks=pytest.mark.slow),
      pytest.param("pallas-loop-interpret", marks=pytest.mark.slow)])
-def test_batched_solver_pallas_engine_trajectory(setup, engine):
-    planet, grid, params, T, *_ = setup
+def test_batched_solver_pallas_engine_trajectory(engine):
+    # standalone smaller grid: interpret-mode trace cost scales with
+    # the unrolled layer count, and this test only needs trajectories
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=24, n_layers=6, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    rng = np.random.RandomState(0)
+    T = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                    * rng.uniform(0.9, 1.1, (4, 1)))
     consts = grid._consts
     xla = solve_rc_batched(T, consts, planet.physics_params(),
                            grid._kappa_fn,
-                           SolverConfig(n_timesteps=6, engine="xla"))
+                           SolverConfig(n_timesteps=4, engine="xla"))
     pal = solve_rc_batched(
         T, consts, planet.physics_params(), grid._kappa_fn,
-        SolverConfig(n_timesteps=6, engine=engine))
+        SolverConfig(n_timesteps=4, engine=engine))
     np.testing.assert_allclose(np.asarray(xla.flux), np.asarray(pal.flux),
                                rtol=1e-7)
     np.testing.assert_allclose(np.asarray(xla.final_temps),
@@ -131,20 +140,49 @@ def test_batched_solver_pallas_engine_trajectory(setup, engine):
                                   np.asarray(pal.n_iterations))
 
 
-def test_size1_per_column_params_engine_agnostic(setup):
+def test_size1_per_column_params_rejected_lengths():
+    """Wrong per-column lengths must fail loudly on every engine (no
+    solve happens — the normalization raises before tracing)."""
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=8, n_layers=4, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    T = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                    .repeat(2, 0))
+    p0 = planet.physics_params()
+    bad = PhysicsParams(g=jnp.full(3, p0.g), m_bar=p0.m_bar,
+                        alpha=p0.alpha, n_dof=p0.n_dof)
+    for engine in ["xla", "pallas-interpret"]:
+        with pytest.raises(ValueError, match="per-column params.g"):
+            solve_rc_batched(T, grid._consts, bad, grid._kappa_fn,
+                             SolverConfig(engine=engine, n_timesteps=1))
+
+
+@pytest.mark.slow   # three distinct solver traces incl. a
+# per-column pallas-interpret program; the loud-rejection half of the
+# regression (below-threshold cost) stays in the fast lane
+def test_size1_per_column_params_engine_agnostic():
     """Size-1 per-column arrays (a (1,) g, a (1, W) F_toa) with B > 1
     columns must mean the same thing on every engine: broadcast to all
     columns.  They used to be broadcast only on the xla path, while
     the pallas path handed make_sweep_consts an unbroadcast (1, 1)
     inv_g that mismatched its (bc, 1) BlockSpec grid (advisor
-    finding, round 3).  Wrong lengths must fail loudly everywhere."""
-    planet, grid, params, T, *_ = setup
+    finding, round 3)."""
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=16, n_layers=5, T_ref=2400.0,
+                dtype=jnp.float64)
+    grid.load_opacities(opacities=load_example_opacity(
+        grid, scale_factor=1.0, dtype=jnp.float64))
+    rng = np.random.RandomState(0)
+    T = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
+                    * rng.uniform(0.9, 1.1, (3, 1)))
     consts = grid._consts
     p0 = planet.physics_params()
     par1 = PhysicsParams(g=jnp.asarray([p0.g]), m_bar=p0.m_bar,
                          alpha=jnp.asarray([p0.alpha]), n_dof=p0.n_dof)
     consts1 = consts._replace(F_toa=consts.F_toa[None, :])
-    cfg = dict(n_timesteps=4)
+    cfg = dict(n_timesteps=2)
     xla = solve_rc_batched(T, consts1, par1, grid._kappa_fn,
                            SolverConfig(engine="xla", **cfg))
     pal = solve_rc_batched(T, consts1, par1, grid._kappa_fn,
@@ -156,14 +194,9 @@ def test_size1_per_column_params_engine_agnostic(setup):
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(xla.flux), np.asarray(pal.flux),
                                rtol=1e-7)
-    bad = PhysicsParams(g=jnp.full(3, p0.g), m_bar=p0.m_bar,
-                        alpha=p0.alpha, n_dof=p0.n_dof)
-    for engine in ["xla", "pallas-interpret"]:
-        with pytest.raises(ValueError, match="per-column params.g"):
-            solve_rc_batched(T, consts, bad, grid._kappa_fn,
-                             SolverConfig(engine=engine, **cfg))
 
 
+@pytest.mark.slow   # two fresh interpret-mode traces + clear_caches
 def test_planck_table_mode_bounded_error(setup):
     """Experimental in-kernel Planck-by-table evaluation (round-4
     bounded experiment): single-step flux agrees with the direct
