@@ -397,6 +397,45 @@ class Grid:
         return (spec, np.asarray(result.final_temps), temp_hist,
                 np.asarray(result.dtaus))
 
+    def spectrum_fn(self, n_timesteps=1, n_zero_crossings=2,
+                    convergence_dT=3.0):
+        """A pure, reverse-differentiable spectrum function for
+        gradient-based retrieval — a capability the reference's
+        numpy + C++-FastChem pipeline cannot offer (its driver loop,
+        `core.py:233-338`, is host-side Python).
+
+        Returns ``fn(init_temps, params, F_toa=None) -> flux`` where
+        ``init_temps`` is (C, L) [K], ``params`` a
+        :class:`~frei_tpu.rt.physics.PhysicsParams` (scalars or (C,)
+        per-column arrays), ``F_toa`` an optional (C, W) per-column
+        irradiation override, and ``flux`` the (C, W) emergent
+        spectra as a traced jax array.  The function is jittable and
+        composes with ``jax.grad`` / ``jax.jacobian`` / ``optax`` —
+        gradients flow to ``init_temps``, every ``params`` field, and
+        ``F_toa``.  It runs the fixed-horizon rematerialized solver
+        (``SolverConfig.differentiable``; XLA engine), so per-call
+        cost matches an unconverged ``n_timesteps`` solve.
+        """
+        from .rt.solver import solve_rc_batched
+
+        if self.opacities is None:
+            raise ValueError(
+                "Must load opacities before building a spectrum fn.")
+        cfg = SolverConfig(
+            n_timesteps=int(n_timesteps),
+            n_zero_crossings=int(n_zero_crossings),
+            convergence_dT=units.to_kelvin(convergence_dT),
+            engine="xla", differentiable=True)
+        consts = self._consts
+        kappa_fn = self._kappa_fn
+
+        def fn(init_temps, params, F_toa=None):
+            c = consts if F_toa is None else consts._replace(F_toa=F_toa)
+            return solve_rc_batched(init_temps, c, params, kappa_fn,
+                                    cfg).flux
+
+        return fn
+
     def emission_dashboard(self, spec, final_temps, temperature_history,
                            dtaus, T_eff=None, plot_phoenix=True,
                            cache=False):

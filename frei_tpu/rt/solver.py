@@ -85,6 +85,18 @@ class SolverConfig(NamedTuple):
     # Columns per Pallas grid instance for the fused sweep kernels
     # (VMEM working set scales with block_columns * L * W).
     block_columns: int = 8
+    # Reverse-mode differentiable solve (gradient-based retrieval —
+    # a capability the reference's numpy + C++-FastChem pipeline
+    # cannot offer).  The adaptive early-exit ``lax.while_loop`` has
+    # no reverse-mode rule, so this runs the SAME body for a fixed
+    # ``n_timesteps`` horizon under ``lax.scan`` with per-iteration
+    # rematerialization (``jax.checkpoint``: backward-pass memory is
+    # one iteration's state, not the whole unrolled trajectory).
+    # Results are bit-identical to the while_loop (converged columns
+    # freeze through the same ``done`` selects; the loop just keeps
+    # running frozen).  XLA engine only: the Pallas kernels carry no
+    # autodiff rules ("auto" resolves to xla when set).
+    differentiable: bool = False
 
 
 class RTConstants(NamedTuple):
@@ -245,9 +257,21 @@ def solve_rc(
         jnp.zeros(L, dtype=bool),
         jnp.asarray(False),
     )
-    (it, temps, F_up, F_down, cs, hist, maxdT, conv_layers, done) = (
-        lax.while_loop(cond, body, carry0)
-    )
+    if cfg.differentiable:
+        # reverse-differentiable fixed-horizon form (see SolverConfig)
+        if cfg.progress:
+            raise ValueError("cfg.progress streams through a debug "
+                             "callback with no autodiff rule; disable "
+                             "it for differentiable solves")
+
+        def scan_body(carry, _):
+            return body(carry), None
+
+        carry_n, _ = lax.scan(jax.checkpoint(scan_body), carry0, None,
+                              length=cfg.n_timesteps)
+    else:
+        carry_n = lax.while_loop(cond, body, carry0)
+    (it, temps, F_up, F_down, cs, hist, maxdT, conv_layers, done) = carry_n
 
     # Final emit for the output spectrum (`core.py:323-333`).
     k = kappa_all(temps, consts.pressures)
@@ -261,7 +285,10 @@ def solve_rc(
         dtaus=f.dtaus,
         F_up=f.F_up,
         F_down=f.F_down,
-        n_iterations=it,
+        # == `it` on the while path (two history pushes per iteration);
+        # on the differentiable fixed-horizon path `it` keeps counting
+        # after convergence while the history counter stays frozen
+        n_iterations=cs.n_cols // 2,
         converged=conv_layers,
         max_dT_history=maxdT,
         loop_temps=temps,
@@ -270,12 +297,19 @@ def solve_rc(
     )
 
 
-def _resolve_engine(engine: str) -> str:
-    if engine != "auto":
-        return engine
-    # 'axon' is the hosted-TPU PJRT plugin's platform name
-    return ("pallas" if jax.default_backend() in ("tpu", "axon")
-            else "xla")
+def _resolve_engine(engine: str, differentiable: bool = False) -> str:
+    if engine == "auto":
+        if differentiable:
+            return "xla"     # Pallas kernels carry no autodiff rules
+        # 'axon' is the hosted-TPU PJRT plugin's platform name
+        return ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "xla")
+    if differentiable and engine != "xla":
+        raise ValueError(
+            f"cfg.differentiable needs engine 'xla' (or 'auto'), got "
+            f"{engine!r}: the Pallas sweep kernels have no reverse-mode "
+            "autodiff rules")
+    return engine
 
 
 @partial(jax.jit, static_argnames=("kappa_all", "cfg"))
@@ -311,7 +345,11 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     W = consts.lam_cm.shape[0]
     dtype = init_temps.dtype
     n_hist = 2 * cfg.n_timesteps
-    engine = _resolve_engine(cfg.engine)
+    engine = _resolve_engine(cfg.engine, cfg.differentiable)
+    if cfg.differentiable and cfg.progress:
+        raise ValueError("cfg.progress streams through a debug "
+                         "callback with no autodiff rule; disable it "
+                         "for differentiable solves")
 
     # Per-column (population) mode: any physics scalar may be a (B,)
     # array and consts.F_toa may be (B, W) — one planet per column
@@ -606,8 +644,19 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         jnp.zeros((B, L), dtype=bool),
         jnp.zeros((B,), dtype=bool),
     )
+    if cfg.differentiable:
+        # fixed-horizon scan with per-iteration rematerialization:
+        # reverse-differentiable, and bit-identical to the while_loop
+        # (converged columns freeze through the same `done` selects)
+        def scan_body(carry, _):
+            return body(carry), None
+
+        carry_n, _ = lax.scan(jax.checkpoint(scan_body), carry0, None,
+                              length=cfg.n_timesteps)
+    else:
+        carry_n = lax.while_loop(cond, body, carry0)
     (it, n_iters, temps, F_up, F_down, cs, hist, maxdT, conv_layers,
-     done) = lax.while_loop(cond, body, carry0)
+     done) = carry_n
 
     # Final emit for the output spectrum (`core.py:323-333`), plus the
     # dtaus diagnostic (one cheap pass, once per solve; needs the

@@ -126,6 +126,8 @@ def test_irradiated_equilibrium_dashboard_end_to_end():
     plt.close(fig)
 
 
+@pytest.mark.slow   # an 80-iteration equilibration solve; fast-lane
+# telemetry coverage lives in test_solve_metrics / test_progress_callback
 def test_flux_balance_telemetry():
     """The equilibration telemetry decreases with iteration (it does
     NOT reach zero: the scheme's dT criterion stops far short of
@@ -135,20 +137,20 @@ def test_flux_balance_telemetry():
     from frei_tpu.rt.solver import SolverConfig, solve_rc
 
     planet = Planet.from_hot_jupiter()
-    grid = Grid(planet, n_wl_bins=64, n_layers=10, T_ref=2400.0,
+    grid = Grid(planet, n_wl_bins=32, n_layers=7, T_ref=2400.0,
                 dtype=jnp.float64)
     grid.load_opacities(opacities=load_example_opacity(
         grid, scale_factor=1.0, dtype=jnp.float64))
     T0 = jnp.asarray(grid.init_temperatures)
     imb = {}
-    for n in (1, 200):
+    for n in (1, 80):
         res = solve_rc(T0, grid._consts, planet.physics_params(),
                        grid._kappa_fn,
                        SolverConfig(n_timesteps=n,
                                     n_zero_crossings=10 ** 6,
                                     convergence_dT=0.0))
         imb[n] = float(flux_balance(res, grid._consts.trapz_w))
-    assert 0 < imb[200] < imb[1], imb
+    assert 0 < imb[80] < imb[1], imb
     # batched results give per-column values
     from frei_tpu.rt.solver import solve_rc_batched
     resb = solve_rc_batched(jnp.stack([T0, T0 * 1.02]), grid._consts,
@@ -158,6 +160,8 @@ def test_flux_balance_telemetry():
     assert fb.shape == (2,) and np.all(np.isfinite(fb))
 
 
+@pytest.mark.slow   # three full solver compiles; the save/load
+# mechanics stay fast-lane in test_checkpoint_roundtrip
 def test_checkpoint_resume_is_exact(tmp_path):
     """Checkpointing after k iterations and resuming for the rest
     reproduces the continuous run EXACTLY (the checkpoint carries the
@@ -166,7 +170,7 @@ def test_checkpoint_resume_is_exact(tmp_path):
     from frei_tpu.rt.solver import SolverConfig, solve_rc_batched
 
     planet = Planet.from_hot_jupiter()
-    grid = Grid(planet, n_wl_bins=48, n_layers=9, T_ref=2400.0,
+    grid = Grid(planet, n_wl_bins=24, n_layers=6, T_ref=2400.0,
                 dtype=jnp.float64)
     grid.load_opacities(opacities=load_example_opacity(
         grid, scale_factor=1.0, dtype=jnp.float64))

@@ -48,7 +48,8 @@ def test_docs_exist():
 
 #: docs whose executable blocks run multi-minute solves / chemistry
 #: table builds — marked slow so the default CI lane stays fast
-_SLOW_DOCS = {"quickstart.md", "chemistry.md", "scaling.md"}
+_SLOW_DOCS = {"quickstart.md", "chemistry.md", "scaling.md",
+              "opacities.md", "retrieval.md"}
 
 
 @pytest.mark.parametrize(

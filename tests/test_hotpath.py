@@ -27,7 +27,7 @@ _SMALL_CHEM = {}
 
 def _grid(chemistry=None):
     planet = Planet.from_hot_jupiter()
-    grid = Grid(planet, n_wl_bins=32, n_layers=6, T_ref=2400.0,
+    grid = Grid(planet, n_wl_bins=24, n_layers=5, T_ref=2400.0,
                 dtype=jnp.float64)
     stack = load_example_opacity(grid, scale_factor=1.0,
                                  dtype=jnp.float64)

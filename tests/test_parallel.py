@@ -37,7 +37,13 @@ def test_mesh_shapes():
         make_mesh(n_columns=3, n_bins=2)
 
 
-@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [(8, 1), (4, 2),
+     # a second bins-sharded factorization adds a full ensemble
+     # recompile for the same code path — slow lane (the driver's
+     # dryrun sweep also covers 2x4)
+     pytest.param((2, 4), marks=pytest.mark.slow)])
 def test_ensemble_matches_per_column(setup, mesh_shape):
     """Sharded batch solve == independent single-column solves, for
     every mesh factorization (columns-only and bins-sharded)."""
@@ -121,12 +127,11 @@ def test_population_matches_individual_planets(setup):
     planets = [
         Planet(a_rstar=5.0, m_bar=2.4, g=24.79, T_star=5800.0, alpha=1.0),
         Planet(a_rstar=9.0, m_bar=2.4, g=10.0, T_star=4500.0, alpha=1.5),
-        Planet(a_rstar=6.4, m_bar=2.4, g=50.0, T_star=6300.0, alpha=1.0),
     ]
-    T0 = _ensemble_inputs(grid, 3)
+    T0 = _ensemble_inputs(grid, 2)
     cfg = SolverConfig(n_timesteps=4)
     res = solve_population(jnp.asarray(T0), grid, planets, cfg)
-    assert res.flux.shape == (3, 64)
+    assert res.flux.shape == (2, 64)
 
     from frei_tpu import Grid, load_example_opacity
     for c, p in enumerate(planets):

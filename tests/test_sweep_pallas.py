@@ -25,7 +25,7 @@ from frei_tpu.rt.physics import PhysicsParams
 from frei_tpu.rt.solver import SolverConfig, solve_rc, solve_rc_batched
 from frei_tpu.rt.sweeps import absorb_sweep, emit_sweep
 
-B, L, W = 5, 9, 40
+B, L, W = 3, 7, 24
 
 
 @pytest.fixture(scope="module")
@@ -70,7 +70,7 @@ def test_sweep_kernel_matches_xla(setup, direction):
     pal = emit_sweep_pallas if direction == "emit" else absorb_sweep_pallas
     ref = jax.vmap(lambda t, fu, fd, k: xla(t, fu, fd, k, **kw))(
         T, Fu, Fd, K)
-    # block_columns=2 with B=5 also exercises the padding path
+    # block_columns=2 with odd B also exercises the padding path
     out = pal(T, Fu, Fd, K, sc, consts.pressures, params,
               block_columns=2, interpret=True)
     # rtol 1e-7 (not 1e-9): the kernel hoists the Planck argument
@@ -118,20 +118,20 @@ def test_batched_solver_pallas_engine_trajectory(engine):
     # standalone smaller grid: interpret-mode trace cost scales with
     # the unrolled layer count, and this test only needs trajectories
     planet = Planet.from_hot_jupiter()
-    grid = Grid(planet, n_wl_bins=24, n_layers=6, T_ref=2400.0,
+    grid = Grid(planet, n_wl_bins=16, n_layers=5, T_ref=2400.0,
                 dtype=jnp.float64)
     grid.load_opacities(opacities=load_example_opacity(
         grid, scale_factor=1.0, dtype=jnp.float64))
     rng = np.random.RandomState(0)
     T = jnp.asarray(np.asarray(grid.init_temperatures)[None, :]
-                    * rng.uniform(0.9, 1.1, (4, 1)))
+                    * rng.uniform(0.9, 1.1, (3, 1)))
     consts = grid._consts
     xla = solve_rc_batched(T, consts, planet.physics_params(),
                            grid._kappa_fn,
-                           SolverConfig(n_timesteps=4, engine="xla"))
+                           SolverConfig(n_timesteps=2, engine="xla"))
     pal = solve_rc_batched(
         T, consts, planet.physics_params(), grid._kappa_fn,
-        SolverConfig(n_timesteps=4, engine=engine))
+        SolverConfig(n_timesteps=2, engine=engine))
     np.testing.assert_allclose(np.asarray(xla.flux), np.asarray(pal.flux),
                                rtol=1e-7)
     np.testing.assert_allclose(np.asarray(xla.final_temps),
