@@ -338,6 +338,19 @@ def main():
             "unit": "columns*bins/s",
             "attempts": RETRIES["preflight"]}))
         return
+    # A silent JAX fallback to CPU would pass the tiny-op gate and
+    # then burn the headline leg's full timeout budget on the wrong
+    # device — misattributing an environment problem to the code.
+    # (FREI_BENCH_PLATFORM deliberately smoke-tests on other backends.)
+    _plat = os.environ.get("FREI_BENCH_PLATFORM")
+    want = (_plat,) if _plat else ("tpu", "axon")
+    if pre["backend"] not in want:
+        print(json.dumps({
+            "error": f"preflight ran on backend {pre['backend']!r}, "
+                     f"not the TPU (plugin missing/misconfigured?)",
+            "stage": "preflight", "metric": METRIC, "value": None,
+            "unit": "columns*bins/s", "preflight": pre}))
+        return
 
     head, err = _run_leg("headline")
     if head is None:

@@ -141,16 +141,24 @@ def _planck_table(lam_row, n, dtype):
     """(n, W) Planck radiances on the static log-T grid, plus the
     (lt0, inv_dlt) index transform (position = (ln T - lt0) * inv_dlt).
     Built ONCE per solve in make_sweep_consts — never inside the
-    iteration loop."""
+    iteration loop.
+
+    The build runs inside the solver's jit trace (lam is a tracer), so
+    it evaluates through :func:`ops.planck.planck_lambda` at the
+    widest enabled float: float64 under ``jax_enable_x64``, else
+    float32 — in which case the table carries ~1-ulp (1e-7) build
+    quantization on top of the interpolation error (only visible at
+    n >~ 8192, where interpolation alone reaches ~4e-7 of peak)."""
     import numpy as np
+
+    from .planck import planck_lambda
     t0, t1 = _PLANCK_T_RANGE
     lt0 = float(np.log(t0))
     dlt = (float(np.log(t1)) - lt0) / (n - 1)
-    tgrid = jnp.exp(lt0 + dlt * jnp.arange(n, dtype=jnp.float64))
-    lam = lam_row.reshape(-1).astype(jnp.float64)
-    c1 = 2.0 * const.h * const.c ** 2 / lam ** 4
-    tab = (c1 / lam) / jnp.expm1(
-        const.hc_over_k / (lam[None, :] * tgrid[:, None]))
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    tgrid = jnp.exp(lt0 + dlt * jnp.arange(n, dtype=wide))
+    lam = lam_row.reshape(-1).astype(wide)
+    tab = planck_lambda(tgrid[:, None], lam[None, :])
     return tab.astype(dtype), (lt0, 1.0 / dlt)
 
 

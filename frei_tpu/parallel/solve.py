@@ -118,7 +118,7 @@ def solve_ensemble(
     cols = NamedSharding(mesh, P(COLUMNS))
     init_temps = jax.device_put(jnp.asarray(init_temps), cols)
 
-    engine = _resolve_engine(cfg.engine)
+    engine = _resolve_engine(cfg.engine, cfg.differentiable)
     n_bins_shards = mesh.shape[BINS]
     if engine.startswith("pallas") and (n_bins_shards == 1
                                         or lt is not None):

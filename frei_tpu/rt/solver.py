@@ -259,10 +259,7 @@ def solve_rc(
     )
     if cfg.differentiable:
         # reverse-differentiable fixed-horizon form (see SolverConfig)
-        if cfg.progress:
-            raise ValueError("cfg.progress streams through a debug "
-                             "callback with no autodiff rule; disable "
-                             "it for differentiable solves")
+        _check_differentiable_cfg(cfg)
 
         def scan_body(carry, _):
             return body(carry), None
@@ -295,6 +292,14 @@ def solve_rc(
         loop_F_up=F_up,
         loop_F_down=F_down,
     )
+
+
+def _check_differentiable_cfg(cfg) -> None:
+    """Shared progress/autodiff interaction guard for both solvers."""
+    if cfg.differentiable and cfg.progress:
+        raise ValueError("cfg.progress streams through a debug "
+                         "callback with no autodiff rule; disable it "
+                         "for differentiable solves")
 
 
 def _resolve_engine(engine: str, differentiable: bool = False) -> str:
@@ -346,10 +351,7 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
     dtype = init_temps.dtype
     n_hist = 2 * cfg.n_timesteps
     engine = _resolve_engine(cfg.engine, cfg.differentiable)
-    if cfg.differentiable and cfg.progress:
-        raise ValueError("cfg.progress streams through a debug "
-                         "callback with no autodiff rule; disable it "
-                         "for differentiable solves")
+    _check_differentiable_cfg(cfg)
 
     # Per-column (population) mode: any physics scalar may be a (B,)
     # array and consts.F_toa may be (B, W) — one planet per column
@@ -467,6 +469,17 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
             iteration = partial(rc_iteration_pallas, pack=pack,
                                 params=params, interpret=interp)
     elif engine == "xla":
+        if cfg.bins_axis:
+            # the xla sweeps compute full-axis bolometric quadratures
+            # and never psum partial sums across a shard_map bins
+            # axis — running them inside shard_map on a bins-sharded
+            # mesh silently yields wrong temperatures (the GSPMD path
+            # in parallel.solve is the correct xla route: XLA inserts
+            # the psum itself)
+            raise ValueError(
+                "engine 'xla' does not support a shard_map "
+                "bins-sharded mesh (cfg.bins_axis); use engine "
+                "'pallas', or the GSPMD path without bins_axis")
         common_kw = dict(
             sigma_scat=consts.sigma_scat,
             lam_cm=consts.lam_cm, trapz_w=consts.trapz_w,

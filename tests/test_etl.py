@@ -120,7 +120,8 @@ def test_auto_engine_resolution(monkeypatch):
 
     from frei_tpu.opacity.etl import resolve_rebin_engine
     assert resolve_rebin_engine("xla") == "xla"       # explicit wins
-    assert resolve_rebin_engine("auto") == "native"   # CPU test env
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_rebin_engine("auto") == "native"   # CPU host
     monkeypatch.setattr(jax, "default_backend", lambda: "axon")
     assert resolve_rebin_engine("auto") == "matmul"
 
