@@ -59,7 +59,14 @@ def chemistry(temperatures, pressures, species, return_vmr=False,
         model = FastChemJAX(species, m_bar_g, mode=mode)
     with jax.enable_x64(True):
         vmr = np.asarray(model.vmr(T, P_cgs))
-        mmr = np.asarray(model.mmr(T, P_cgs))
+        # mmr is vmr x (m_species / m_bar) — derive it instead of
+        # calling model.mmr(), which re-runs the full equilibrium
+        # solve a second time in 'exact' mode
+        masses = np.asarray(getattr(model, "species_masses_g",
+                                    getattr(model, "_masses_g", None)),
+                            dtype=float)
+        mmr = vmr * (masses / m_bar_g).reshape(
+            (-1,) + (1,) * (vmr.ndim - 1))
     mmr_d = {s: mmr[i] for i, s in enumerate(species)}
     if return_vmr:
         return mmr_d, {s: vmr[i] for i, s in enumerate(species)}

@@ -166,9 +166,26 @@ def equilibrium_log_pressures(table: ChemTable, T, P_bar, x0=None,
     return out + (r_hist,) if return_residuals else out
 
 
+def _clip_interp_axis(coord, x):
+    """Clamped 1-D linear-interpolation weights on ascending ``coord``:
+    clip ``x`` into the axis range, lower index ``i``, fraction ``f``.
+
+    ONE definition on purpose: :meth:`FastChemJAX.layer_mmr_interp`'s
+    exactness claim against :meth:`FastChemJAX._vmr_from_table` (the
+    bilinear interpolation factoring axis-by-axis) holds only while
+    every table lookup uses the identical clip/searchsorted/fraction
+    formula."""
+    n = coord.shape[0]
+    x = jnp.clip(x, coord[0], coord[-1])
+    i = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1, 0, n - 2)
+    f = (x - coord[i]) / (coord[i + 1] - coord[i])
+    return i, f
+
+
 def _prepare_static(table: ChemTable):
-    """Host-side preprocessing shared by every solve (hashable key is
-    the table object identity; arrays are numpy)."""
+    """Host-side preprocessing shared by every solve (cheap numpy
+    work, recomputed per call; the jitted solve below is the cached
+    part)."""
     nu = np.asarray(table.stoich)
     eps = np.asarray(table.abundances)
     E = table.n_elements
@@ -183,7 +200,7 @@ def _prepare_static(table: ChemTable):
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "n_inner"))
-def _gs_solve(nu, eps, coeffs, order, iH, iH2, ie, T, P_bar, z0,
+def _gs_solve(nu, eps, coeffs, order, ie, T, P_bar, z0,
               n_sweeps: int, n_inner: int):
     """Vectorized Gauss-Seidel equilibrium solve.  All arguments are
     device arrays except the static iteration counts; ``order`` is the
@@ -300,7 +317,7 @@ def _solve_batch(static, T, P_bar, x0, n_sweeps, n_inner):
     return _gs_solve(
         jnp.asarray(nu, dtype), jnp.asarray(eps, dtype),
         jnp.asarray(static["coeffs"], dtype),
-        jnp.asarray(static["order"]), static["iH"], static["iH2"], ie,
+        jnp.asarray(static["order"]), ie,
         T, P_bar, z0, n_sweeps=n_sweeps, n_inner=n_inner)
 
 
@@ -323,8 +340,10 @@ class FastChemJAX:
         interpolates bilinearly on device — cheap, float32-safe, and
         accurate to ~1e-3 relative at the default 64 x 32 resolution.
         'exact' runs the Gauss-Seidel solve per call (use float64).
-    T_range, P_range_bar : table-mode grid coverage (defaults span the
-        DACE opacity validity range, 500-5000 K / 1e-8-1e3 bar).
+    T_range, P_range_bar : table-mode grid coverage (defaults
+        500-6000 K / 1e-8-1e3 bar: the DACE opacity validity range
+        plus T headroom so RC-iteration overshoots above 5000 K stay
+        on-table instead of clamping).
     """
 
     def __init__(self, opacity_species: Sequence[str], m_bar_g: float,
@@ -403,15 +422,8 @@ class FastChemJAX:
         logT = jnp.log10(jnp.asarray(temperatures, jnp.float32))
         logP = jnp.log10(jnp.asarray(pressures_cgs, jnp.float32)
                          / const.BAR_TO_CGS)
-        def axis(coord, x):
-            n = coord.shape[0]
-            x = jnp.clip(x, coord[0], coord[-1])
-            i = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1,
-                         0, n - 2)
-            f = (x - coord[i]) / (coord[i + 1] - coord[i])
-            return i, f
-        ti, tf = axis(self._tab_logT, logT)
-        pj, pf = axis(self._tab_logP, logP)
+        ti, tf = _clip_interp_axis(self._tab_logT, logT)
+        pj, pf = _clip_interp_axis(self._tab_logP, logP)
         v = self._tab_lnvmr
         out = ((1 - tf)[..., None] * ((1 - pf)[..., None] * v[ti, pj]
                                       + pf[..., None] * v[ti, pj + 1])
@@ -464,12 +476,7 @@ class FastChemJAX:
                 "layer-factored chemistry requires table mode")
         logP = jnp.log10(jnp.asarray(pressures_cgs, jnp.float32)
                          / const.BAR_TO_CGS)
-        coord = self._tab_logP
-        n = coord.shape[0]
-        x = jnp.clip(logP, coord[0], coord[-1])
-        pj = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1,
-                      0, n - 2)
-        pf = ((x - coord[pj]) / (coord[pj + 1] - coord[pj]))
+        pj, pf = _clip_interp_axis(self._tab_logP, logP)
         v = self._tab_lnvmr                        # (nTc, nPc, S)
         tab = ((1 - pf)[None, :, None] * v[:, pj, :]
                + pf[None, :, None] * v[:, pj + 1, :])   # (nTc, L, S)
@@ -510,11 +517,7 @@ class FastChemJAX:
         def mmr_fn(temps):
             dtype = jnp.result_type(temps)
             x = jnp.log10(jnp.asarray(temps, jnp.float32))
-            x = jnp.clip(x, logT_grid[0], logT_grid[-1])
-            i = jnp.clip(
-                jnp.searchsorted(logT_grid, x, side="right") - 1,
-                0, nTc - 2)
-            f = (x - logT_grid[i]) / (logT_grid[i + 1] - logT_grid[i])
+            i, f = _clip_interp_axis(logT_grid, x)
             oh = (jax.nn.one_hot(i, nTc, dtype=jnp.float32)
                   * (1.0 - f)[..., None]
                   + jax.nn.one_hot(i + 1, nTc, dtype=jnp.float32)

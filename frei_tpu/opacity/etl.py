@@ -264,7 +264,7 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
         rebin_jit = jax.jit(make_resort_rebin_matmul(wav_c, edges_um))
         def rebin_rows(rows):
             return np.asarray(rebin_jit(jnp.asarray(rows, jnp.float32)))
-    else:
+    elif engine == "xla":
         import jax
         import jax.numpy as jnp
         from ..ops.rebin import resort_rebin
@@ -276,6 +276,10 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
                                                       edges_d))
         def rebin_rows(rows):
             return np.asarray(rebin_jit(jnp.asarray(rows, jnp.float32)))
+    else:
+        raise ValueError(
+            f"unknown rebin engine {engine!r} (expected one of "
+            f"{sorted(_REBIN_ENGINES)})")
 
     flat = store.cube.reshape(nT * nP, -1)
     out = np.empty((nT * nP, n_bins), dtype=np.float32)
@@ -316,6 +320,10 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
         np.asarray(rt_grid.pressures_bar)
 
 
+#: the resort-rebin device/host kernels (docs/opacities.md)
+_REBIN_ENGINES = {"xla", "native", "pallas", "matmul"}
+
+
 def resolve_rebin_engine(engine: str = "auto") -> str:
     """Resolve ``engine='auto'`` by backend: the scatter-free matmul
     formulation on TPU (XLA scatters crawl there; the block-banded
@@ -323,15 +331,28 @@ def resolve_rebin_engine(engine: str = "auto") -> str:
     hosts (no accelerator round-trip; measured 0.55 Gsamples/s,
     docs/opacities.md).  A backend that fails to initialize (e.g. a
     downed hosted-TPU service) falls back to native so ETL — a pure
-    host pipeline at heart — keeps working."""
+    host pipeline at heart — keeps working; a host without a C++
+    toolchain falls back from native to the portable XLA path.
+    Explicit engine names are validated (a typo must not silently run
+    the slowest path)."""
     if engine != "auto":
+        if engine not in _REBIN_ENGINES:
+            raise ValueError(
+                f"unknown rebin engine {engine!r} (expected one of "
+                f"{sorted(_REBIN_ENGINES)} or 'auto')")
         return engine
+
+    def _native_or_xla():
+        from ..native import native_available
+        return "native" if native_available() else "xla"
+
     import jax
     try:
         backend = jax.default_backend()
     except RuntimeError:
-        return "native"
-    return "matmul" if backend in ("tpu", "axon") else "native"
+        return _native_or_xla()
+    return ("matmul" if backend in ("tpu", "axon")
+            else _native_or_xla())
 
 
 def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
@@ -370,10 +391,26 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
             + (f" for species {sorted(wanted)}" if species else "")
             + " — ingest with download_molecule()/opacity_dir_to_store()"
         )
+    by_iso = {}
+    for s in stores:
+        if s.isotopologue in by_iso:
+            other = by_iso[s.isotopologue]
+            raise ValueError(
+                f"two opacity stores for isotopologue "
+                f"{s.isotopologue!r}: {other.path.name!r} (linelist "
+                f"{other.linelist!r}) and {s.path.name!r} (linelist "
+                f"{s.linelist!r}).  The binned tables are keyed by "
+                "isotopologue, so one would silently shadow the "
+                "other — narrow the `path=` glob (or move one store) "
+                "to pick a linelist")
+        by_iso[s.isotopologue] = s
+    # the fingerprint carries the linelist too: swapping a store for a
+    # same-shape different linelist must not serve stale cached tables
     key = grid_fingerprint(
         rt_grid.wl_edges_cm, rt_grid.pressures_cgs,
         rt_grid.init_temperatures,
-        extra="|".join(f"{s.isotopologue}:{s.cube.shape}" for s in stores)
+        extra="|".join(f"{s.isotopologue}:{s.linelist}:{s.cube.shape}"
+                       for s in stores)
         + ("" if groupies else "|exact"))
     if cache:
         hit = load_binned_cache(key)
@@ -431,12 +468,20 @@ def _dace_download(kind, archive_name, **kwargs):
 
 
 def _untar_bin_files(archive_name):
+    """Extract only the ``.bin`` members, under tarfile's 'data'
+    filter: a crafted archive member like ``../../x.bin`` must not
+    escape tmp/ (and Python >= 3.12 warns, later errors, without an
+    explicit filter)."""
     def bin_members(members):
         for m in members:
             if os.path.splitext(m.name)[1] == ".bin":
                 yield m
     with tarfile.open(archive_name, "r:gz") as tar:
-        tar.extractall(path="tmp/.", members=bin_members(tar))
+        try:
+            tar.extractall(path="tmp/.", members=bin_members(tar),
+                           filter="data")
+        except TypeError:   # pre-3.10.12 tarfile: no filter kwarg
+            tar.extractall(path="tmp/.", members=bin_members(tar))
 
 
 def download_molecule(isotopologue, linelist,

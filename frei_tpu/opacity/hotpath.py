@@ -26,6 +26,17 @@ from .tables import (LayerKappaTables, OpacityStack, kappa_from_layer_tables,
 __all__ = ["build_kappa_model", "kappa_model_from_layer_tables"]
 
 
+def _supports_iteration_hook(chem) -> bool:
+    """Explicit capability check for the whole-iteration kernels:
+    ``supports_layer_factoring()`` when the model defines it (e.g.
+    FastChemJAX — True only in table mode), else the presence of
+    ``layer_ln_mmr_tables`` (e.g. MockChemistry)."""
+    probe = getattr(chem, "supports_layer_factoring", None)
+    if probe is not None:
+        return bool(probe())
+    return hasattr(chem, "layer_ln_mmr_tables")
+
+
 def kappa_model_from_layer_tables(lt: LayerKappaTables, mmr_fn, chem,
                                   sigma_scat):
     """Kappa closure over prebuilt layer tables, hooks attached.
@@ -48,8 +59,15 @@ def kappa_model_from_layer_tables(lt: LayerKappaTables, mmr_fn, chem,
     # fused-kappa hook for the Pallas sweep kernels; NOTE the kernels
     # add sigma themselves, so the weights exclude it
     kappa_all.layer_parts = (_ohs, lt.tab)
-    # whole-iteration kernel hook (ops.iteration_pallas)
-    kappa_all.iteration_hook = (lt.temps, lt.tab, chem)
+    # whole-iteration kernel hook (ops.iteration_pallas) — only when
+    # the chemistry can actually serve it (make_iteration_pack calls
+    # chem.layer_ln_mmr_tables).  Attaching it unconditionally would
+    # defeat rt/solver's descriptive `hook is None` guards: an
+    # exact-mode FastChemJAX would pass them and then die inside the
+    # kernel pack build with a bare AttributeError.
+    kappa_all.iteration_hook = (
+        (lt.temps, lt.tab, chem) if _supports_iteration_hook(chem)
+        else None)
     # rebuild ingredients for sharded callers
     kappa_all.layer_tables = lt
     kappa_all.mmr_fn = mmr_fn

@@ -135,6 +135,19 @@ def _axis_weights(coord, x):
     molecular opacity.  Points genuinely outside by more than ~8 ULP
     still zero-fill, matching the reference (`opacity.py:241-263`)."""
     n = coord.shape[0]
+    if n == 1:
+        # Degenerate 1-point axis: treat as axis-constant (idx 0,
+        # frac 0, always in range on THIS axis) instead of dividing
+        # by x1 - x0 == 0 (NaN even at the tabulated point).  This is
+        # the same convention as the reference's 1-point-T axis skip
+        # (`opacity.py:256-259`) and the ETL's single-P mirroring
+        # (opacity_dir_to_store), which both read "no variation along
+        # this axis".  Callers' idx+1 lookups clamp (JAX gather) and
+        # are weighted by frac == 0.
+        shape = jnp.shape(x)
+        return (jnp.zeros(shape, jnp.int32),
+                jnp.zeros(shape, jnp.result_type(coord)),
+                jnp.ones(shape, bool))
     idx = jnp.clip(jnp.searchsorted(coord, x, side="right") - 1, 0, n - 2)
     x0 = coord[idx]
     x1 = coord[idx + 1]

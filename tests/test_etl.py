@@ -129,6 +129,27 @@ def test_auto_engine_resolution(monkeypatch):
         raise RuntimeError("Unable to initialize backend")
     monkeypatch.setattr(jax, "default_backend", boom)
     assert resolve_rebin_engine("auto") == "native"
+    # no C++ toolchain -> portable XLA path, not a g++ crash mid-ETL
+    import frei_tpu.native as native_mod
+    monkeypatch.setattr(native_mod, "native_available", lambda: False)
+    assert resolve_rebin_engine("auto") == "xla"
+    # a typo must not silently run the slowest engine
+    with pytest.raises(ValueError, match="unknown rebin engine"):
+        resolve_rebin_engine("matmull")
+
+
+def test_duplicate_isotopologue_rejected(cache_env):
+    """Two stores for the same isotopologue (e.g. two linelists of one
+    molecule) would silently shadow each other in the
+    isotopologue-keyed tables — must refuse loudly (round-4 review)."""
+    store_dir = cache_env / "cache" / "opacities"
+    store_dir.mkdir(parents=True)
+    make_synthetic_store(store_dir / "1H2-16O__BT2.ftop", n_hr=2000)
+    make_synthetic_store(store_dir / "1H2-16O__POKAZATEL.ftop",
+                         n_hr=2000)
+    grid = make_rt_grid(n_wl_bins=16, n_layers=4)
+    with pytest.raises(ValueError, match="isotopologue"):
+        binned_opacity_tables(grid, cache=False)
 
 
 def test_grid_load_opacities_engine_kwarg(cache_env):

@@ -111,6 +111,28 @@ def test_entry_points_route_through_shared_builder(monkeypatch):
     assert ("rebuild", True) in calls        # in-shard rebuild
 
 
+def test_exact_mode_chemistry_gets_no_iteration_hook():
+    """Exact-mode FastChemJAX has no ``layer_ln_mmr_tables`` to serve
+    (table mode only); the builder must leave ``iteration_hook`` unset
+    so the mega-kernel engines raise their descriptive guard instead
+    of dying inside the kernel pack build with a bare AttributeError
+    (round-4 review)."""
+    from frei_tpu.rt.solver import solve_rc_batched
+
+    planet, grid = _grid()
+    stack = grid.opacities
+    chem = FastChemJAX(stack.species, planet.m_bar, mode="exact")
+    k = hotpath.build_kappa_model(stack, chem, grid._consts.pressures,
+                                  grid._consts.sigma_scat)
+    assert k.iteration_hook is None
+    assert k.layer_parts is not None        # fused sweeps still work
+    T0 = jnp.asarray(np.asarray(grid.rt_grid.init_temperatures)[None])
+    with pytest.raises(ValueError, match="layer-factored"):
+        solve_rc_batched(T0, grid._consts, planet.physics_params(), k,
+                         SolverConfig(engine="pallas-loop",
+                                      n_timesteps=1))
+
+
 def test_single_T_point_stack_falls_back():
     """A stack with one temperature sample has nothing to factor: the
     builder must return the generic path without engine hooks."""

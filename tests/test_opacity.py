@@ -66,6 +66,35 @@ def test_interp_linear_between_grid_points():
     np.testing.assert_allclose(np.asarray(got)[0], expect, rtol=1e-12)
 
 
+def test_single_pressure_stack_axis_constant():
+    """A 1-point pressure axis must behave as axis-constant (round-4
+    review: ``_axis_weights`` divided by x1 - x0 == 0, NaN even at the
+    tabulated pressure).  Same convention as the 1-point-T axis skip
+    and the ETL's single-P mirroring."""
+    vals = np.arange(2 * 1 * 4, dtype=np.float64).reshape(1, 2, 1, 4)
+    st = make_opacity_stack(
+        {"K": (vals[0], np.array([1000.0, 2000.0]), np.array([1.0]))},
+        dtype=jnp.float64)
+    # at, off, and far from the tabulated pressure: finite, P-constant
+    got = interp_tp(st, jnp.asarray([1500.0] * 3),
+                    jnp.asarray([1.0e6, 0.2e6, 50.0e6]))
+    g = np.asarray(got)
+    assert np.all(np.isfinite(g))
+    expect = 0.5 * (vals[0, 0, 0] + vals[0, 1, 0])
+    for col in range(3):
+        np.testing.assert_allclose(g[0, col], expect, rtol=1e-12)
+    # T hull still applies
+    out = interp_tp(st, jnp.asarray([100.0]), jnp.asarray([1.0e6]))
+    assert np.all(np.asarray(out) == 0)
+    # degenerate BOTH axes: the single tabulated spectrum, everywhere
+    st1 = make_opacity_stack(
+        {"K": (vals[0][:1], np.array([1000.0]), np.array([1.0]))},
+        dtype=jnp.float64)
+    got1 = interp_tp(st1, jnp.asarray([777.0]), jnp.asarray([3.3e6]))
+    np.testing.assert_allclose(np.asarray(got1)[0, 0], vals[0, 0, 0],
+                               rtol=1e-12)
+
+
 def test_rayleigh_decreasing_and_positive():
     g = small_grid()
     sig = rayleigh_total(g.lam_cm, 2.4 * m_p)
