@@ -25,6 +25,7 @@ from .opacity.tables import OpacityStack, make_opacity_stack
 from .rt.physics import PhysicsParams
 from .rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
 from .stellar.irradiation import f_toa_np
+from .stellar.phoenix import _trapezoid
 
 __all__ = ["Planet", "Grid", "Spectrum", "effective_temperature",
            "effective_temperature_milne", "effective_temperature_planck"]
@@ -481,7 +482,7 @@ def effective_temperature_planck(grid: Grid, spec):
     """Stefan-Boltzmann inversion of the bolometric emitted flux
     (reference `core.py:408-414`)."""
     lam_cm = np.asarray(grid.rt_grid.lam_cm)
-    bol = np.trapezoid(np.asarray(spec.flux_cgs, dtype=np.float64), lam_cm)
+    bol = _trapezoid(np.asarray(spec.flux_cgs, dtype=np.float64), lam_cm)
     return float((bol / const.sigma_sb) ** 0.25)
 
 

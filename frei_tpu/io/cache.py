@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import zipfile
 from pathlib import Path
 
 import numpy as np
@@ -50,12 +51,22 @@ def load_binned_cache(key: str):
     path = binned_cache_dir() / f"{key}.npz"
     if not path.exists():
         return None
-    with np.load(path, allow_pickle=False) as d:
-        species = [str(s) for s in d["species"]]
-        return {
-            s: (d[f"values_{i}"], d["temps"], d["press_bar"])
-            for i, s in enumerate(species)
-        }
+    try:
+        with np.load(path, allow_pickle=False) as d:
+            species = [str(s) for s in d["species"]]
+            return {
+                s: (d[f"values_{i}"], d["temps"], d["press_bar"])
+                for i, s in enumerate(species)
+            }
+    except (OSError, ValueError, KeyError, zipfile.BadZipFile):
+        # a truncated/garbage file (e.g. a writer killed mid-save
+        # before atomic replace existed) is a MISS, not a permanent
+        # poison: drop it and let the caller rebuild
+        try:
+            path.unlink()
+        except OSError:
+            pass
+        return None
 
 
 def save_binned_cache(key: str, tables: dict) -> Path:
@@ -68,5 +79,18 @@ def save_binned_cache(key: str, tables: dict) -> Path:
         payload[f"values_{i}"] = np.asarray(values, np.float32)
     payload["temps"] = np.asarray(tables[species[0]][1], np.float64)
     payload["press_bar"] = np.asarray(tables[species[0]][2], np.float64)
-    np.savez_compressed(path, **payload)
+    # atomic publish: concurrent processes of a multi-host run may
+    # save the same fingerprint — each writes its own temp file and
+    # os.replace wins last, so a reader never sees a half-written zip
+    # (the name must keep the .npz suffix or np.savez appends one)
+    tmp = path.with_name(f".{path.stem}.{os.getpid()}.tmp.npz")
+    try:
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
+    finally:
+        if tmp.exists():
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
     return path

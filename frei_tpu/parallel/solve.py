@@ -78,6 +78,52 @@ def shard_solver_inputs(mesh: Mesh, consts: RTConstants,
     return consts, stack
 
 
+class _ReuseCache:
+    """Identity-keyed reuse cache for the jitted sharded solvers.
+
+    ``jax.jit`` keys its executable cache on the function OBJECT:
+    rebuilding the ``shard_map`` closure on every call would retrace
+    and recompile the whole sharded solve per invocation — in a
+    retrieval / phase-curve loop that is minutes of XLA work per
+    likelihood evaluation.  Entries are keyed on the caller-visible
+    argument identities (``is`` for array-carrying objects: passing
+    the SAME consts / stack / chem / params objects is exactly what
+    makes reuse sound, since closure-captured arrays are baked into
+    the trace) with ``==`` for hashable value objects (cfg, mesh,
+    scalars).  Strong references are held, so a stored id cannot be
+    recycled by the allocator; ``maxlen`` bounds retention.
+    """
+
+    _EQ_TYPES = (SolverConfig, Mesh, float, int, str, bool, type(None))
+
+    def __init__(self, maxlen: int = 4):
+        self._entries = []
+        self._maxlen = maxlen
+
+    @classmethod
+    def _match(cls, k1, k2):
+        return len(k1) == len(k2) and all(
+            (a is b) or (isinstance(a, cls._EQ_TYPES)
+                         and type(a) is type(b) and a == b)
+            for a, b in zip(k1, k2))
+
+    def get(self, key):
+        for k, v in self._entries:
+            if self._match(k, key):
+                return v
+        return None
+
+    def put(self, key, value):
+        self._entries.append((key, value))
+        if len(self._entries) > self._maxlen:
+            self._entries.pop(0)
+        return value
+
+
+_ENSEMBLE_CACHE = _ReuseCache()
+_POPULATION_CACHE = _ReuseCache()
+
+
 def solve_ensemble(
     init_temps,              # (C, L) per-column initial profiles [K]
     consts: RTConstants,
@@ -100,11 +146,30 @@ def solve_ensemble(
     bolometric quadratures that one psum per sweep completes across
     ``bins`` (the scheme's only cross-bin collective, riding ICI).
     The XLA engine runs under GSPMD, which inserts the same psum.
-    """
-    from ..rt.solver import _resolve_engine, solve_rc_batched
 
+    Repeat calls with the SAME consts / params / stack / chem objects
+    (and equal cfg / mesh) reuse the placed tables and the compiled
+    executable (:class:`_ReuseCache`) — a retrieval loop pays the
+    sharding + kappa build + XLA compile once, not per likelihood
+    evaluation.
+    """
     if mesh is None:
         mesh = make_mesh()
+    key = (consts, params, stack, chem, cfg, mesh)
+    solver = _ENSEMBLE_CACHE.get(key)
+    if solver is None:
+        solver = _ENSEMBLE_CACHE.put(
+            key, _build_ensemble_solver(consts, params, stack, chem,
+                                        cfg, mesh))
+    return solver(init_temps)
+
+
+def _build_ensemble_solver(consts, params, stack, chem, cfg, mesh):
+    """One-time construction for :func:`solve_ensemble`: input
+    placement, hot-loop kappa wiring, the shard_map closure, and the
+    jitted entry — returns ``solve(init_temps) -> RTResult``."""
+    from ..rt.solver import _resolve_engine, solve_rc_batched
+
     consts, stack = shard_solver_inputs(mesh, consts, stack)
 
     # Same shared hot-loop wiring as api.Grid (layer-factored tables +
@@ -116,7 +181,9 @@ def solve_ensemble(
     lt = getattr(kappa_all, "layer_tables", None)
 
     cols = NamedSharding(mesh, P(COLUMNS))
-    init_temps = jax.device_put(jnp.asarray(init_temps), cols)
+
+    def _place(init_temps):
+        return jax.device_put(jnp.asarray(init_temps), cols)
 
     engine = _resolve_engine(cfg.engine, cfg.differentiable)
     n_bins_shards = mesh.shape[BINS]
@@ -166,7 +233,8 @@ def solve_ensemble(
                            in_specs=(P(COLUMNS), consts_specs,
                                      P(None, None, BINS)),
                            out_specs=out_specs, check_vma=False)
-            return jax.jit(fn)(init_temps, consts, lt.tab)
+            jfn = jax.jit(fn)
+            return lambda T0: jfn(_place(T0), consts, lt.tab)
 
         fn = shard_map(
             partial(solve_rc_batched, consts=consts, params=params,
@@ -175,7 +243,8 @@ def solve_ensemble(
             out_specs=RTResult(*([P(COLUMNS)] * len(RTResult._fields))),
             check_vma=False,
         )
-        return jax.jit(fn)(init_temps)
+        jfn = jax.jit(fn)
+        return lambda T0: jfn(_place(T0))
 
     if engine.startswith("pallas"):
         # single-T-point tables have no layer factorization and Pallas
@@ -187,7 +256,7 @@ def solve_ensemble(
                          kappa_all=kappa_all, cfg=cfg)),
         in_shardings=(cols,),
     )
-    return batched(init_temps)
+    return lambda T0: batched(_place(T0))
 
 
 def solve_population(init_temps, grid, planets,
@@ -255,22 +324,31 @@ def solve_population(init_temps, grid, planets,
             "(n_columns, 1) mesh (per-planet F_toa rows are column "
             "state, not spectral constants)")
 
-    def run(T0, ftoa_c, g_c, alpha_c):
-        par = PhysicsParams(g=g_c, m_bar=jnp.asarray(m_bar, dtype),
-                            alpha=alpha_c, n_dof=5)
-        return solve_rc_batched(T0, consts._replace(F_toa=ftoa_c),
-                                par, kappa_all, cfg)
+    # per-planet F_toa / g / alpha are ARGUMENTS of the sharded solve,
+    # so the jitted executable is reusable across retrieval steps that
+    # vary the planets: cache it on the grid-static closure inputs
+    # kappa_all is in the key too: re-running grid.load_opacities()
+    # swaps grid._kappa_fn on the SAME grid object
+    key = (grid, kappa_all, float(m_bar), cfg, mesh)
+    jfn = _POPULATION_CACHE.get(key)
+    if jfn is None:
+        def run(T0, ftoa_c, g_c, alpha_c):
+            par = PhysicsParams(g=g_c, m_bar=jnp.asarray(m_bar, dtype),
+                                alpha=alpha_c, n_dof=5)
+            return solve_rc_batched(T0, consts._replace(F_toa=ftoa_c),
+                                    par, kappa_all, cfg)
 
-    from jax import shard_map
-    fn = shard_map(
-        run, mesh=mesh,
-        in_specs=(P(COLUMNS), P(COLUMNS), P(COLUMNS), P(COLUMNS)),
-        out_specs=RTResult(*([P(COLUMNS)] * len(RTResult._fields))),
-        check_vma=False,
-    )
+        from jax import shard_map
+        fn = shard_map(
+            run, mesh=mesh,
+            in_specs=(P(COLUMNS), P(COLUMNS), P(COLUMNS), P(COLUMNS)),
+            out_specs=RTResult(*([P(COLUMNS)] * len(RTResult._fields))),
+            check_vma=False,
+        )
+        jfn = _POPULATION_CACHE.put(key, jax.jit(fn))
     cols = NamedSharding(mesh, P(COLUMNS))
     init_temps = jax.device_put(init_temps, cols)
     f_toa = jax.device_put(f_toa, cols)
     g = jax.device_put(g, cols)
     alpha = jax.device_put(alpha, cols)
-    return jax.jit(fn)(init_temps, f_toa, g, alpha)
+    return jfn(init_temps, f_toa, g, alpha)

@@ -20,6 +20,10 @@ from .. import constants as const
 from ..ops.planck import planck_lambda_np
 from ..units import to_cgs_gravity, to_kelvin
 
+# np.trapz was renamed np.trapezoid in NumPy 2.0; support both (the
+# declared floor is numpy>=1.26)
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 __all__ = ["get_binned_phoenix_spectrum", "bin_spectrum_mean",
            "get_binned_blackbody_spectrum"]
 
@@ -43,7 +47,7 @@ def bin_spectrum_mean(flux, wavelength_um, wl_bins_um, n_out):
         if np.count_nonzero(sel) >= 2:
             x = wav[sel]
             y = flux[sel]
-            out[b] = np.trapezoid(y, x) / (x.max() - x.min())
+            out[b] = _trapezoid(y, x) / (x.max() - x.min())
         elif np.count_nonzero(sel) == 1:
             out[b] = flux[sel][0]
     return out[:n_out]

@@ -138,6 +138,29 @@ def test_auto_engine_resolution(monkeypatch):
         resolve_rebin_engine("matmull")
 
 
+def test_corrupt_binned_cache_is_a_miss(cache_env):
+    """A truncated/garbage cache file (writer killed mid-save on an
+    older version) must read as a cache miss and be dropped, not
+    poison every future run with BadZipFile; saves are atomic now
+    (temp file + os.replace)."""
+    from frei_tpu.io.cache import (binned_cache_dir, load_binned_cache,
+                                   save_binned_cache)
+    binned_cache_dir().mkdir(parents=True, exist_ok=True)
+    bad = binned_cache_dir() / "deadbeef.npz"
+    bad.write_bytes(b"this is not a zip file")
+    assert load_binned_cache("deadbeef") is None
+    assert not bad.exists()              # dropped for rebuild
+    tables = {"1H2-16O": (np.ones((2, 2, 4), np.float32),
+                          np.array([1000.0, 2000.0]),
+                          np.array([0.1, 1.0]))}
+    save_binned_cache("cafe", tables)
+    got = load_binned_cache("cafe")
+    np.testing.assert_array_equal(got["1H2-16O"][0],
+                                  tables["1H2-16O"][0])
+    # no stray temp files left behind
+    assert not list(binned_cache_dir().glob("*.tmp*"))
+
+
 def test_duplicate_isotopologue_rejected(cache_env):
     """Two stores for the same isotopologue (e.g. two linelists of one
     molecule) would silently shadow each other in the

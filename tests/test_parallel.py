@@ -116,6 +116,44 @@ def test_ensemble_pallas_shard_map(setup, mesh_shape):
                                    rtol=1e-8)
 
 
+def test_ensemble_solver_reuse(setup, monkeypatch):
+    """Repeat calls with the SAME input objects must reuse the placed
+    tables and compiled sharded solver instead of rebuilding per call
+    (round-4 review: a retrieval loop paid the full shard placement +
+    kappa build + XLA compile per likelihood evaluation)."""
+    from frei_tpu.parallel import solve as psolve
+
+    planet, grid = setup
+    T0 = jnp.asarray(_ensemble_inputs(grid, 8))
+    params = planet.physics_params()     # ONE object: identity key
+    cfg = SolverConfig(n_timesteps=2)
+    mesh = make_mesh(4, 2)
+    builds = []
+    real = psolve._build_ensemble_solver
+
+    def counting(*a):
+        builds.append(1)
+        return real(*a)
+
+    monkeypatch.setattr(psolve, "_build_ensemble_solver", counting)
+    args = (grid._consts, params, grid.opacities, grid.chemistry, cfg)
+    r1 = psolve.solve_ensemble(T0, *args, mesh=mesh)
+    r2 = psolve.solve_ensemble(T0, *args, mesh=mesh)
+    assert len(builds) == 1              # second call: cache hit
+    np.testing.assert_array_equal(np.asarray(r1.flux),
+                                  np.asarray(r2.flux))
+    # an equal-but-distinct cfg object still hits (hashable value key)
+    r3 = psolve.solve_ensemble(T0, *args[:-1],
+                               SolverConfig(n_timesteps=2), mesh=mesh)
+    assert len(builds) == 1
+    np.testing.assert_array_equal(np.asarray(r1.flux),
+                                  np.asarray(r3.flux))
+    # a different cfg rebuilds
+    psolve.solve_ensemble(T0, *args[:-1],
+                          SolverConfig(n_timesteps=1), mesh=mesh)
+    assert len(builds) == 2
+
+
 def test_population_matches_individual_planets(setup):
     """Per-planet irradiation/gravity/alpha population solve equals
     independent single-planet solves (the retrieval/phase-curve
