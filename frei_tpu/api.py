@@ -241,7 +241,12 @@ class Grid:
             else:
                 self.opacities = make_opacity_stack(opacities,
                                                     dtype=self.dtype)
-        self.chemistry = chemistry
+        if chemistry is not None or self.chemistry is None:
+            # chemistry=None on a grid that already has a model keeps
+            # it: a reload (e.g. re-binning with a different engine)
+            # must not silently downgrade equilibrium chemistry to the
+            # constant-VMR mock.  Pass chemistry="mock" to reset.
+            self.chemistry = chemistry
         self._build_solver_inputs()
         return self.opacities
 

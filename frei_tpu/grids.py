@@ -55,6 +55,15 @@ def wavelength_grid(min_micron=0.5, max_micron=10.0, n_bins=500, lam=None):
         lam = np.logspace(np.log10(min_micron), np.log10(max_micron), n_bins)
     else:
         lam = np.asarray(lam, dtype=np.float64)
+        if lam.ndim != 1 or lam.shape[0] < 2:
+            raise ValueError("lam must be a 1-D grid with >= 2 points")
+        if not np.all(np.diff(lam) > 0):
+            # wavenumber-ordered data arrives descending: reversed
+            # edges silently break the ETL's searchsorted crop and
+            # bin assignment — fail here, not three layers down
+            raise ValueError(
+                "lam must be strictly ascending in wavelength "
+                "(wavenumber-ordered input? reverse it: lam[::-1])")
     dlam = lam[1] - lam[0]
     wl_bins = np.concatenate([[lam.min() - dlam], lam]) + dlam / 2
     mid = lam.shape[0] // 2
@@ -145,6 +154,14 @@ def make_rt_grid(
         # minimum.  (The reference fails on this with an opaque
         # IndexError; we fail loudly at construction.)
         raise ValueError("the pressure grid needs at least 3 layers")
+    if not np.all(np.diff(pressures_bar) < 0):
+        # the solver's dtau factors are p1 - p2 per swept layer: a
+        # TOA-first (ascending) grid flips every optical depth sign
+        # and the solve runs to unphysical results with no error
+        raise ValueError(
+            "pressures must be strictly descending, "
+            "bottom-of-atmosphere first (`tp.py:32` convention); got "
+            "an ascending/unsorted grid — reverse it: pressures[::-1]")
     if init_temperatures is None:
         init_temperatures = temperature_grid(
             pressures_bar, T_ref=T_ref, P_ref=P_ref_bar, alpha=alpha

@@ -18,7 +18,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 import numpy as np
@@ -36,11 +35,25 @@ def build_native(force: bool = False) -> Path:
     if _LIB_PATH.exists() and not force and \
             _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
         return _LIB_PATH
+    # Compile to a per-process temp name and os.replace into place:
+    # concurrent processes (multi-process runs, pytest-xdist) may both
+    # build, and a partially-written .so with a fresh mtime would make
+    # every later build_native() skip recompiling while CDLL fails —
+    # permanently disabling the native engine until manual deletion.
+    tmp = _LIB_PATH.with_name(f".{_LIB_PATH.name}.{os.getpid()}.tmp")
     cmd = [
         os.environ.get("CXX", "g++"), "-O3", "-std=c++17", "-fPIC",
-        "-shared", "-pthread", str(src), "-o", str(_LIB_PATH),
+        "-shared", "-pthread", str(src), "-o", str(tmp),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if tmp.exists():
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
     return _LIB_PATH
 
 

@@ -249,11 +249,18 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
             return grouped_trapezoid_native(rows, wav_c, edges_um)
     elif engine == "pallas":
         import jax.numpy as jnp
+        from ..ops.rebin import bin_codes_np
         from ..ops.rebin_pallas import resort_rebin_pallas
+        # bin assignment + panel widths on the float64 host
+        # coordinates: a float32 device x misassigns edge-adjacent
+        # samples and loses panel-width precision (ops/rebin.py)
+        codes_d = jnp.asarray(bin_codes_np(wav_c, edges_um))
+        dx_d = jnp.asarray(np.diff(np.asarray(wav_c, np.float64)),
+                           jnp.float32)
         def rebin_rows(rows):
             return np.asarray(resort_rebin_pallas(
                 jnp.asarray(rows), jnp.asarray(wav_c),
-                jnp.asarray(edges_um)))
+                jnp.asarray(edges_um), codes=codes_d, dx=dx_d))
     elif engine == "matmul":
         # block-banded MXU formulation: x/edges are static here, so
         # the scatter-free factory is built once per store and reused
@@ -267,13 +274,19 @@ def _rebin_store(store: OpacityStore, rt_grid: RTGrid, engine: str,
     elif engine == "xla":
         import jax
         import jax.numpy as jnp
-        from ..ops.rebin import resort_rebin
+        from ..ops.rebin import bin_codes_np, resort_rebin
         # jit once per chunk shape — eager per-op dispatch of the
-        # segment-sum chain is ~300x slower on accelerator backends
+        # segment-sum chain is ~300x slower on accelerator backends.
+        # Codes + panel widths precomputed on the float64 host
+        # coordinates (ops/rebin.py: float32 coordinates misassign
+        # edge-adjacent samples at line-list resolution).
         wav_d = jnp.asarray(wav_c)
         edges_d = jnp.asarray(edges_um)
-        rebin_jit = jax.jit(lambda rows: resort_rebin(rows, wav_d,
-                                                      edges_d))
+        codes_d = jnp.asarray(bin_codes_np(wav_c, edges_um))
+        dx_d = jnp.asarray(np.diff(np.asarray(wav_c, np.float64)),
+                           jnp.float32)
+        rebin_jit = jax.jit(lambda rows: resort_rebin(
+            rows, wav_d, edges_d, codes=codes_d, dx=dx_d))
         def rebin_rows(rows):
             return np.asarray(rebin_jit(jnp.asarray(rows, jnp.float32)))
     else:

@@ -26,6 +26,15 @@ opacity.py:241-263`), chemistry tables are clip-interpolated like
 
 Engine-to-engine agreement is float32 summation order, as for the
 sweep kernels (see tests/test_sweep_pallas.py).
+
+DELIBERATE duplication: the per-layer sweep body appears here and in
+``ops.sweep_pallas`` (emit/absorb) rather than as one shared helper.
+The kernels differ in ref plumbing (block shapes, scratch layout,
+masked-write targets, quadrature bookkeeping), and Mosaic lowering is
+sensitive to exactly that structure — factoring the body behind an
+abstraction measured slower in round-2 experiments and makes lowering
+regressions harder to localize.  Drift between the copies is pinned
+by the cross-engine parity tests (every engine vs the XLA oracle).
 """
 
 from __future__ import annotations

@@ -18,9 +18,11 @@ exactly here:
   (`opacity.py:137-139`).
 
 On TPU this is a masked segment-sum over the pair axis — one XLA op
-with ``indices_are_sorted`` (wavelengths ascending implies bin codes
-ascending), batched over the (T, P) table axes.  A Pallas kernel
-version lives in ``frei_tpu.ops.rebin_pallas``.
+batched over the (T, P) table axes.  (NOT flagged
+``indices_are_sorted``: dropped straddle panels are parked in the
+out-of-range segment BETWEEN in-order codes, so the id sequence is
+not sorted and the hint would let a scatter lowering misplace sums.)
+A Pallas kernel version lives in ``frei_tpu.ops.rebin_pallas``.
 """
 
 from __future__ import annotations
@@ -43,7 +45,21 @@ def bin_codes(x, edges):
     return jnp.where(in_range, idx, -1)
 
 
-def resort_rebin(values, x, edges, *, codes=None):
+def bin_codes_np(x, edges):
+    """Host float64 twin of :func:`bin_codes`.
+
+    ETL precomputation: without x64 the device arrays are float32, and
+    at line-list resolution (dx/x ~ 1e-6) float32 coordinates misplace
+    samples that sit within ~1 ulp of a bin edge — bin ASSIGNMENT must
+    be decided on the float64 host coordinates (as the native and
+    matmul engines do) even when the summation runs in float32."""
+    x = np.asarray(x, np.float64)
+    edges = np.asarray(edges, np.float64)
+    idx = np.searchsorted(edges, x, side="left") - 1
+    return np.where((x > edges[0]) & (x <= edges[-1]), idx, -1)
+
+
+def resort_rebin(values, x, edges, *, codes=None, dx=None):
     """Grouped trapezoid integral of ``values`` over ``x`` per bin.
 
     Parameters
@@ -55,7 +71,14 @@ def resort_rebin(values, x, edges, *, codes=None):
         Ascending sample coordinates.
     edges : (B + 1,) array
         Ascending bin edges.
-    codes : optional precomputed :func:`bin_codes` of ``x``.
+    codes : optional precomputed :func:`bin_codes` of ``x`` (use
+        :func:`bin_codes_np` when the device dtype is float32 and the
+        coordinates are high-resolution — see its docstring).
+    dx : optional precomputed panel widths ``diff(x)``.  Pass widths
+        differenced in float64 on the host when ``x`` would be a
+        float32 device array: ``fl32(x1) - fl32(x0)`` at line-list
+        resolution carries up to ~10% relative error per panel, while
+        ``fl32(x1 - x0)`` is exact to 1 ulp.
 
     Returns
     -------
@@ -68,13 +91,12 @@ def resort_rebin(values, x, edges, *, codes=None):
         codes = bin_codes(x, edges)
     left = codes[:-1]
     same = (left == codes[1:]) & (left >= 0)
-    dx = x[1:] - x[:-1]
+    dx = (x[1:] - x[:-1]) if dx is None else jnp.asarray(dx, values.dtype)
     panels = 0.5 * (values[..., :-1] + values[..., 1:]) * dx
     panels = jnp.where(same, panels, 0.0)
     seg = jnp.where(same, left, n_bins)  # park dropped panels out of range
     if panels.ndim == 1:
-        out = jax.ops.segment_sum(panels, seg, num_segments=n_bins + 1,
-                                  indices_are_sorted=True)
+        out = jax.ops.segment_sum(panels, seg, num_segments=n_bins + 1)
         return out[:n_bins]
     return _batched_segsum(panels, seg, n_bins)
 
@@ -83,8 +105,8 @@ def _batched_segsum(panels, seg, n_bins):
     """segment_sum over the last axis with leading batch axes."""
     flat = panels.reshape(-1, panels.shape[-1])
     out = jax.vmap(
-        lambda p: jax.ops.segment_sum(p, seg, num_segments=n_bins + 1,
-                                      indices_are_sorted=True)[:n_bins]
+        lambda p: jax.ops.segment_sum(p, seg,
+                                      num_segments=n_bins + 1)[:n_bins]
     )(flat)
     return out.reshape(panels.shape[:-1] + (n_bins,))
 

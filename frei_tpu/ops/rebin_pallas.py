@@ -87,20 +87,26 @@ def _rebin_call(panels, codes, n_bins: int, tile_r: int, chunk: int,
 
 
 def resort_rebin_pallas(values, x, edges, *, tile_r: int = 128,
-                        chunk: int = 512, interpret: bool = False):
+                        chunk: int = 512, interpret: bool = False,
+                        codes=None, dx=None):
     """Grouped trapezoid rebin of ``values (R, N)`` over ``x (N,)``
     into ``len(edges) - 1`` bins, on the MXU.
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (for
-    CPU tests).  Returns float32 (R, B).
+    CPU tests).  Returns float32 (R, B).  ``codes``/``dx`` accept
+    host-float64 precomputations (see ``ops.rebin.bin_codes_np`` —
+    float32 coordinates misassign edge-adjacent samples and lose up
+    to ~10% per panel width at line-list resolution).
     """
     values = jnp.asarray(values, jnp.float32)
     x = jnp.asarray(x)
     n_bins = int(np.shape(edges)[0] - 1)
-    codes = bin_codes(x, jnp.asarray(edges, x.dtype))
+    if codes is None:
+        codes = bin_codes(x, jnp.asarray(edges, x.dtype))
     left = codes[:-1]
     same = (left == codes[1:]) & (left >= 0)
-    dx = (x[1:] - x[:-1]).astype(jnp.float32)
+    dx = ((x[1:] - x[:-1]) if dx is None else jnp.asarray(dx)
+          ).astype(jnp.float32)
     panels = 0.5 * (values[:, :-1] + values[:, 1:]) * dx
     panels = jnp.where(same, panels, 0.0)
     seg = jnp.where(same, left, -1).astype(jnp.int32)

@@ -131,6 +131,11 @@ def set_planck_mode(mode: str, n_table: int = 1024) -> None:
     global _PLANCK_MODE, _PLANCK_TABLE_N
     if mode not in ("direct", "table"):
         raise ValueError(f"unknown planck mode {mode!r}")
+    if mode == "table" and int(n_table) < 2:
+        # validated here, where the misconfiguration happens: n=1
+        # would divide by (n - 1) == 0 deep inside the jit trace
+        raise ValueError(f"planck table needs n_table >= 2, "
+                         f"got {n_table}")
     if mode != "direct":
         _warn_nonbatched(mode, "set_planck_mode")
     _PLANCK_MODE = mode

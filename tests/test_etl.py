@@ -138,6 +138,31 @@ def test_auto_engine_resolution(monkeypatch):
         resolve_rebin_engine("matmull")
 
 
+def test_reload_preserves_chemistry():
+    """Reloading opacities without naming a chemistry must keep the
+    configured model — it used to silently downgrade equilibrium
+    chemistry to the constant-VMR mock (round-4 review)."""
+    from frei_tpu import Grid, Planet, load_example_opacity
+
+    planet = Planet.from_hot_jupiter()
+    grid = Grid(planet, n_wl_bins=16, n_layers=4, T_ref=2400.0)
+    stack = load_example_opacity(grid)
+
+    class MarkerChem:
+        def mmr(self, temps, pressures_cgs):
+            import jax.numpy as jnp
+            return jnp.full((1,) + jnp.shape(temps), 1e-3)
+
+    marker = MarkerChem()
+    grid.load_opacities(opacities=stack, chemistry=marker)
+    assert grid.chemistry is marker
+    grid.load_opacities(opacities=stack)          # reload, no kwarg
+    assert grid.chemistry is marker               # preserved
+    grid.load_opacities(opacities=stack, chemistry="mock")
+    from frei_tpu.chemistry.mocks import MockChemistry
+    assert isinstance(grid.chemistry, MockChemistry)  # explicit reset
+
+
 def test_corrupt_binned_cache_is_a_miss(cache_env):
     """A truncated/garbage cache file (writer killed mid-save on an
     older version) must read as a cache miss and be dropped, not

@@ -128,3 +128,18 @@ def test_spectrum_units_fallback_without_astropy(monkeypatch):
     assert spec.flux is spec.flux_cgs
     assert spec.spectral_axis is spec.wavelength_um
     assert spec.wavelength is spec.wavelength_um
+
+
+def test_user_grids_validated():
+    """Descending wavelengths (wavenumber-ordered input) and ascending
+    (TOA-first) pressures must fail at construction — both previously
+    produced silently unphysical grids (round-4 review)."""
+    import pytest
+
+    from frei_tpu.grids import make_rt_grid, wavelength_grid
+    with pytest.raises(ValueError, match="ascending"):
+        wavelength_grid(lam=np.linspace(10.0, 0.5, 50))
+    with pytest.raises(ValueError, match="1-D"):
+        wavelength_grid(lam=np.array([1.0]))
+    with pytest.raises(ValueError, match="descending"):
+        make_rt_grid(pressures_bar=np.logspace(-6, 1.1, 10))  # TOA first

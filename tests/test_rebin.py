@@ -216,3 +216,31 @@ def test_matmul_engine_auto_tile_bounds_span():
     got = np.asarray(fn(jnp.asarray(vals, jnp.float64)))
     np.testing.assert_allclose(got, want, rtol=1e-10,
                                atol=1e-10 * np.abs(want).max())
+
+
+def test_float32_coordinates_use_host_codes():
+    """An interior sample within a float32 ulp of a bin edge is
+    misassigned (or its panel dropped) when bin codes and panel widths
+    come from downcast device coordinates; the ETL precomputes both on
+    the float64 host grid (round-4 review; `ops.rebin.bin_codes_np`).
+    Also pins that segment ids are NOT flagged sorted: the parked
+    out-of-band panels interleave with in-order codes."""
+    from frei_tpu.ops.rebin import bin_codes_np
+
+    edges = np.array([1.0, 1.0 + 5e-8, 2.0], np.float64)
+    x = np.array([0.9, 1.0 + 1e-8, 1.0 + 4e-8, 1.5, 1.9], np.float64)
+    vals = np.ones((1, 5), np.float32)
+    want = np.asarray(resort_rebin(jnp.asarray(vals, jnp.float64),
+                                   jnp.asarray(x), jnp.asarray(edges)))
+    assert want[0, 0] > 0      # the sub-ulp bin really has a panel
+    got = np.asarray(resort_rebin(
+        jnp.asarray(vals), jnp.asarray(x, jnp.float32),
+        jnp.asarray(edges, jnp.float32),
+        codes=jnp.asarray(bin_codes_np(x, edges)),
+        dx=jnp.asarray(np.diff(x), jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # without host codes the float32 path cannot even see the bin
+    f32 = np.asarray(resort_rebin(jnp.asarray(vals),
+                                  jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(edges, jnp.float32)))
+    assert f32[0, 0] == 0.0
