@@ -203,8 +203,6 @@ def test_planck_table_mode_bounded_error(setup):
     expm1 path within the table's measured interpolation error
     (linear-in-logT, ~1.8e-6 of peak at n=4096 — NOT the 3e-7 parity
     grade; the mode is experiment-only and warns on selection)."""
-    import warnings
-
     import frei_tpu.ops.sweep_pallas as sp
 
     planet, grid, params, T, *_ = setup
