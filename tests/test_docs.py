@@ -46,6 +46,18 @@ def test_docs_exist():
     assert DOCS, "docs/ has no markdown pages"
 
 
+def test_api_doc_covers_public_symbols():
+    """Every symbol the package exports must at least be NAMED in
+    docs/api.md — an export with zero documentation is a docs
+    regression (the reference documents its whole public surface
+    through Sphinx autodoc)."""
+    import frei_tpu
+    text = (Path(__file__).resolve().parent.parent
+            / "docs" / "api.md").read_text()
+    missing = [s for s in frei_tpu.__all__ if s not in text]
+    assert not missing, f"public symbols absent from docs/api.md: {missing}"
+
+
 #: docs whose executable blocks run multi-minute solves / chemistry
 #: table builds — marked slow so the default CI lane stays fast
 _SLOW_DOCS = {"quickstart.md", "chemistry.md", "scaling.md",
