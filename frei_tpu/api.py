@@ -226,8 +226,9 @@ class Grid:
         ``mmr(temps, pressures_cgs)`` method.
 
         ``engine`` selects the rebin kernel for the ETL path ("auto" =
-        backend-dispatched: block-banded matmul on TPU, threaded C++
-        on CPU hosts; see ``opacity.etl.resolve_rebin_engine``).
+        threaded C++ on every backend — the ETL is host-streaming and
+        transfers dominate on accelerators; measured rationale in
+        ``opacity.etl.resolve_rebin_engine`` / docs/opacities.md).
         """
         if (self.opacities is None and opacities is None) or force_reload:
             from .opacity.etl import binned_opacity_stack

@@ -338,16 +338,22 @@ _REBIN_ENGINES = {"xla", "native", "pallas", "matmul"}
 
 
 def resolve_rebin_engine(engine: str = "auto") -> str:
-    """Resolve ``engine='auto'`` by backend: the scatter-free matmul
-    formulation on TPU (XLA scatters crawl there; the block-banded
-    matmul rides the MXU — ops/rebin_matmul.py), threaded C++ on CPU
-    hosts (no accelerator round-trip; measured 0.55 Gsamples/s,
-    docs/opacities.md).  A backend that fails to initialize (e.g. a
-    downed hosted-TPU service) falls back to native so ETL — a pure
-    host pipeline at heart — keeps working; a host without a C++
-    toolchain falls back from native to the portable XLA path.
-    Explicit engine names are validated (a typo must not silently run
-    the slowest path)."""
+    """Resolve ``engine='auto'``: threaded C++ on every backend, with
+    the portable XLA path when no toolchain is available.
+
+    The ETL is a HOST-streaming pipeline — it reads a memmapped
+    line-list store chunk by chunk — so the production winner is
+    decided by where the data already is, not by kernel speed.
+    Measured on the round-4 chip session (docs/opacities.md): the
+    full streamed rebin of a 0.4 GB cube takes 0.55 s with the C++
+    engine vs 15.2 s (xla) / 23.2 s (matmul) on the hosted TPU, where
+    every chunk pays a host->device transfer that dwarfs the kernel
+    (the on-device xla kernel alone runs at ~72 Gsamples/s once the
+    data is resident — 130x the C++ engine — which is why the
+    device engines stay available for device-resident callers, but
+    `auto` never picks them for the streamed ETL).  Explicit engine
+    names are validated (a typo must not silently run the slowest
+    path)."""
     if engine != "auto":
         if engine not in _REBIN_ENGINES:
             raise ValueError(
@@ -355,17 +361,8 @@ def resolve_rebin_engine(engine: str = "auto") -> str:
                 f"{sorted(_REBIN_ENGINES)} or 'auto')")
         return engine
 
-    def _native_or_xla():
-        from ..native import native_available
-        return "native" if native_available() else "xla"
-
-    import jax
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        return _native_or_xla()
-    return ("matmul" if backend in ("tpu", "axon")
-            else _native_or_xla())
+    from ..native import native_available
+    return "native" if native_available() else "xla"
 
 
 def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
@@ -377,11 +374,15 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
     Equivalent of the reference ``binned_opacity`` (`opacity.py:66-170`)
     with device kernels and a binned-result disk cache.
 
-    ``engine``: "auto" (backend-dispatched, see
-    :func:`resolve_rebin_engine`), "xla" (segment-sum, any backend),
-    "matmul" (scatter-free block-banded MXU formulation, the TPU
-    choice — see ``ops/rebin_matmul.py``), "pallas" (TPU kernel), or
-    "native" (threaded C++, best for host-only many-core ETL).
+    ``engine``: "auto" (threaded C++ everywhere — measured rationale
+    in :func:`resolve_rebin_engine`), "xla" (segment-sum, any
+    backend; ~HBM roofline once data is device-resident), "matmul"
+    (scatter-free block-banded formulation — kept opt-in, measured
+    slower than the segment-sum it was built to replace), "pallas"
+    (TPU kernel), or "native" (threaded C++).
+
+    ``path``: a directory containing ``*.ftop`` stores or a glob
+    pattern over store paths (default: the user store dir).
 
     ``groupies`` selects between the reference's two rebin semantics
     (see :func:`_rebin_store`): True = trapezoid integral x bin width x
@@ -392,6 +393,8 @@ def binned_opacity_tables(rt_grid: RTGrid, species=None, path=None,
     """
     if path is None:
         path = str(opacity_store_dir() / "*.ftop")
+    elif Path(path).is_dir():
+        path = str(Path(path) / "*.ftop")
     paths = sorted(glob(str(path)))
     stores = [OpacityStore(p) for p in paths]
     if species is not None:

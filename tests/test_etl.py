@@ -112,22 +112,15 @@ def test_native_kernel_matches_xla():
 
 
 def test_auto_engine_resolution(monkeypatch):
-    """engine='auto' dispatches by backend: matmul on TPU (XLA
-    scatters crawl there), native C++ on CPU hosts, with a native
-    fallback when the backend can't initialize (downed TPU service —
-    ETL is a host pipeline and must keep working)."""
-    import jax
-
+    """engine='auto' picks the C++ host engine on EVERY backend — the
+    ETL streams a host memmap, and the round-4 chip measurement
+    showed per-chunk host->device transfers dwarf any device-kernel
+    win (native 0.55 s vs xla 15.2 s / matmul 23.2 s on the full
+    streamed path; docs/opacities.md) — falling back to the portable
+    XLA path only when no C++ toolchain exists."""
     from frei_tpu.opacity.etl import resolve_rebin_engine
     assert resolve_rebin_engine("xla") == "xla"       # explicit wins
-    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
-    assert resolve_rebin_engine("auto") == "native"   # CPU host
-    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
-    assert resolve_rebin_engine("auto") == "matmul"
-
-    def boom():
-        raise RuntimeError("Unable to initialize backend")
-    monkeypatch.setattr(jax, "default_backend", boom)
+    assert resolve_rebin_engine("matmul") == "matmul"  # opt-in stays
     assert resolve_rebin_engine("auto") == "native"
     # no C++ toolchain -> portable XLA path, not a g++ crash mid-ETL
     import frei_tpu.native as native_mod
