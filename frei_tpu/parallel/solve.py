@@ -17,6 +17,7 @@ order does this by construction).
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import Optional
 
@@ -29,8 +30,10 @@ from ..rt.physics import PhysicsParams
 from ..rt.solver import RTConstants, RTResult, SolverConfig, solve_rc
 from .mesh import BINS, COLUMNS, make_mesh
 
-__all__ = ["initialize_distributed", "shard_solver_inputs",
-           "solve_ensemble", "solve_population"]
+__all__ = ["initialize_distributed", "reuse_cache_stats",
+           "shard_solver_inputs", "solve_ensemble", "solve_population"]
+
+_log = logging.getLogger("frei_tpu.parallel")
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -92,13 +95,24 @@ class _ReuseCache:
     the trace) with ``==`` for hashable value objects (cfg, mesh,
     scalars).  Strong references are held, so a stored id cannot be
     recycled by the allocator; ``maxlen`` bounds retention.
+
+    The failure mode of identity keying is SILENT: a loop that
+    rebuilds ``Grid`` / ``RTConstants`` per step misses every time and
+    pays a full XLA compile (~30-90 s on TPU) per iteration.  A miss
+    whose value-keyed parts (cfg/mesh) equal a cached entry — i.e. the
+    caller rebuilt equal-valued input objects — therefore logs a
+    WARNING naming the reuse contract; hit/miss counters are exposed
+    via :func:`reuse_cache_stats`.
     """
 
     _EQ_TYPES = (SolverConfig, Mesh, float, int, str, bool, type(None))
 
-    def __init__(self, maxlen: int = 4):
+    def __init__(self, name: str = "solver", maxlen: int = 4):
         self._entries = []
         self._maxlen = maxlen
+        self.name = name
+        self.hits = 0
+        self.misses = 0
 
     @classmethod
     def _match(cls, k1, k2):
@@ -110,8 +124,33 @@ class _ReuseCache:
     def get(self, key):
         for k, v in self._entries:
             if self._match(k, key):
+                self.hits += 1
                 return v
+        self.misses += 1
+        if any(self._value_parts_equal(k, key)
+               for k, _ in self._entries):
+            # The footgun signature: a cached solver exists whose
+            # value-keyed parts (cfg, mesh, scalars) are EQUAL, so the
+            # only difference is identity of the array-carrying inputs
+            # — the caller rebuilt Grid/RTConstants/stack/chem between
+            # calls and is recompiling work it meant to reuse.
+            # Deliberately different cfg/mesh legs stay silent.
+            _log.warning(
+                "%s reuse-cache MISS #%d (hits=%d): same cfg/mesh as "
+                "a cached solver but the consts/params/stack/chem "
+                "objects are not the identical objects — recompiling "
+                "the sharded solve (~30-90 s on TPU). Build those "
+                "once outside the loop and pass the SAME objects to "
+                "reuse (docs/retrieval.md).",
+                self.name, self.misses, self.hits)
         return None
+
+    @classmethod
+    def _value_parts_equal(cls, k1, k2):
+        return len(k1) == len(k2) and all(
+            (not isinstance(a, cls._EQ_TYPES))
+            or (type(a) is type(b) and a == b)
+            for a, b in zip(k1, k2))
 
     def put(self, key, value):
         self._entries.append((key, value))
@@ -119,9 +158,24 @@ class _ReuseCache:
             self._entries.pop(0)
         return value
 
+    def stats(self):
+        return {"hits": self.hits, "misses": self.misses,
+                "entries": len(self._entries)}
 
-_ENSEMBLE_CACHE = _ReuseCache()
-_POPULATION_CACHE = _ReuseCache()
+
+_ENSEMBLE_CACHE = _ReuseCache("solve_ensemble")
+_POPULATION_CACHE = _ReuseCache("solve_population")
+
+
+def reuse_cache_stats() -> dict:
+    """Hit/miss/entry counts of the compiled-solver reuse caches.
+
+    A retrieval loop that is unexpectedly slow should check this
+    first: ``misses`` growing with the iteration count means the loop
+    rebuilds an input object every step and recompiles instead of
+    reusing (the identity-key contract, docs/retrieval.md)."""
+    return {c.name: c.stats()
+            for c in (_ENSEMBLE_CACHE, _POPULATION_CACHE)}
 
 
 def solve_ensemble(

@@ -151,6 +151,35 @@ def test_ensemble_solver_reuse(setup, monkeypatch):
                                   np.asarray(r3.flux))
     assert not psolve._ReuseCache._match(
         (cfg,), (SolverConfig(n_timesteps=1),))
+    # instrumentation: the three calls above were 1 miss + 2 hits on
+    # the ensemble cache, and the stats surface is queryable
+    stats = psolve.reuse_cache_stats()["solve_ensemble"]
+    assert stats["hits"] >= 2 and stats["misses"] >= 1
+    assert stats["entries"] >= 1
+
+
+def test_reuse_cache_warns_on_repeat_miss(caplog):
+    """The identity-key failure mode (rebuilding inputs per step ->
+    recompile per likelihood evaluation) must be LOUD: every miss
+    after the first logs a warning naming the reuse contract
+    (round-4 review: misses were silent)."""
+    import logging
+
+    from frei_tpu.parallel.solve import _ReuseCache
+
+    cache = _ReuseCache("unit-test")
+    k1, k2 = (object(),), (object(),)
+    with caplog.at_level(logging.WARNING, logger="frei_tpu.parallel"):
+        assert cache.get(k1) is None          # first build: silent
+        assert not caplog.records
+        cache.put(k1, "solver-1")
+        assert cache.get(k1) == "solver-1"    # hit: silent
+        assert not caplog.records
+        assert cache.get(k2) is None          # rebuild-per-step miss
+    assert any("reuse-cache MISS" in r.message for r in caplog.records)
+    assert any("docs/retrieval.md" in r.getMessage()
+               for r in caplog.records)
+    assert cache.stats() == {"hits": 1, "misses": 2, "entries": 1}
 
 
 def test_population_matches_individual_planets(setup):
