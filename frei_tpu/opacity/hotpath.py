@@ -53,8 +53,9 @@ def kappa_model_from_layer_tables(lt: LayerKappaTables, mmr_fn, chem,
                                        sigma_scat)
         return k
 
-    def _ohs(temps):
-        return layer_interp_weights(lt, mmr_fn(temps), temps)
+    def _ohs(temps, layer_major=False):
+        return layer_interp_weights(lt, mmr_fn(temps), temps,
+                                    layer_major=layer_major)
 
     # fused-kappa hook for the Pallas sweep kernels; NOTE the kernels
     # add sigma themselves, so the weights exclude it

@@ -332,11 +332,23 @@ def make_layer_tables(stack: OpacityStack,
     return LayerKappaTables(tab=tab, temps=stack.temps, n_species=S)
 
 
-def layer_interp_weights(lt: LayerKappaTables, mmr, temperature):
+def layer_interp_weights(lt: LayerKappaTables, mmr, temperature,
+                         layer_major: bool = False):
     """Species-weighted 1-D T-interpolation weight rows: the (..., L,
     S*nT) matrix W such that ``k_mol[..., l, :] = W[..., l, :] @
     lt.tab[l]``.  Factored out so the fused Pallas sweep kernels can
-    run the contraction in VMEM (the kappa slab never touches HBM)."""
+    run the contraction in VMEM (the kappa slab never touches HBM).
+
+    ``layer_major=True`` builds the rows directly in the kernels'
+    (L, ..., K) layout — the TINY inputs (temps, mmr) are transposed
+    instead of the (B, L, K) weight slab, removing the per-sweep
+    ``moveaxis`` from the XLA graph (round-5 staging experiment,
+    docs/design-notes.md)."""
+    if layer_major:
+        temperature = jnp.moveaxis(temperature, -1, 0)   # (L, ...)
+        mmr = jnp.moveaxis(jnp.asarray(mmr), -1, 1)      # (S, L, ...)
+        while mmr.ndim < jnp.ndim(temperature) + 1:
+            mmr = mmr[..., None]      # broadcast batch dims (S, L) form
     nT = lt.temps.shape[0]
     dt = lt.tab.dtype
     ti, tf, t_ok = _axis_weights(lt.temps, temperature)

@@ -52,7 +52,7 @@ from .twostream import expm1_series, two_stream_couplers_g0
 
 __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
            "absorb_sweep_pallas", "set_kappa_dot_mode",
-           "set_planck_mode"]
+           "set_ohs_layout", "set_planck_mode"]
 
 #: In-kernel kappa-contraction lowering variant.  "batched" (default)
 #: is the production path: one layer-batched f32 dot at HIGHEST
@@ -64,10 +64,44 @@ __all__ = ["SweepConsts", "make_sweep_consts", "emit_sweep_pallas",
 #: inputs with f32 accumulation (NOT parity-safe — perf ceiling
 #: datapoint only); "bf16x2" = two-term Dekker split of both operands
 #: into bf16 hi/lo with three single-pass dots (f32-grade accuracy,
-#: drops only the lo*lo term).
+#: drops only the lo*lo term); "padk32" = K zero-padded to a multiple
+#: of 32 only (sublane-aligning the table's contraction axis without
+#: padk's 4.3x FMA cost — exact); "tabT" = pre-transposed (L, W, K)
+#: table with the contraction over the minor axis of both operands
+#: (round-5 staging experiment: does Mosaic's operand staging prefer
+#: a lane-aligned contraction axis?).
 _KAPPA_DOT_MODE = os.environ.get("FREI_KAPPA_DOT", "batched")
 
-_KAPPA_DOT_MODES = ("batched", "perlayer", "padk", "bf16", "bf16x2")
+_KAPPA_DOT_MODES = ("batched", "perlayer", "padk", "bf16", "bf16x2",
+                    "padk32", "tabT")
+
+#: Layout in which the solver hands the T-interp weight slab to
+#: `_run_sweep`.  "batch" (default): (B, L, K), transposed here to the
+#: kernel's layer-major (L, B, K) with a jnp.moveaxis.  "layer": built
+#: layer-major upstream (tables.layer_interp_weights layer_major=True)
+#: so the XLA graph never materializes-then-transposes the slab —
+#: round-5 staging experiment (docs/design-notes.md).  NUMERICALLY
+#: EXACT either way (same weights, same contraction); trace-time
+#: module global with the same caveats as _KAPPA_DOT_MODE.
+_OHS_LAYOUT = os.environ.get("FREI_OHS_LAYOUT", "batch")
+_OHS_LAYOUTS = ("batch", "layer")
+
+
+def set_ohs_layout(layout: str) -> None:
+    """Select the weight-slab handoff layout (see ``_OHS_LAYOUT``).
+    Exact lowering variant; takes effect at the next trace — clear jit
+    caches between layouts."""
+    global _OHS_LAYOUT
+    if layout not in _OHS_LAYOUTS:
+        raise ValueError(f"unknown ohs layout {layout!r} "
+                         f"(expected one of {_OHS_LAYOUTS})")
+    _OHS_LAYOUT = layout
+
+
+if _OHS_LAYOUT not in _OHS_LAYOUTS:
+    raise ValueError(
+        f"FREI_OHS_LAYOUT={_OHS_LAYOUT!r}: unknown ohs layout "
+        f"(expected one of {_OHS_LAYOUTS})")
 
 
 def _warn_nonbatched(mode: str, source: str) -> None:
@@ -327,12 +361,21 @@ def _unpack(refs, fused, col_g, planck=None):
         # matching positions, hence the layer-major layout); k_total
         # includes the scattering term (`opacity.py:265-268`)
         batched_dn = (((2,), (1,)), ((0,), (0,)))
-        if mode in ("batched", "padk"):
-            # padk: K was zero-padded to a 128 multiple in _run_sweep —
-            # the contraction itself is identical (zeros add nothing)
+        if mode in ("batched", "padk", "padk32"):
+            # padk/padk32: K was zero-padded (to 128 / 32) in
+            # _run_sweep — the contraction itself is identical (zeros
+            # add nothing)
             kk_all = jax.lax.dot_general(
                 ohs_ref[:], tab_ref[:],
                 dimension_numbers=batched_dn,
+                preferred_element_type=tab_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST)  # (L, bc, W)
+        elif mode == "tabT":
+            # pre-transposed table: contraction over the MINOR (lane)
+            # axis of both operands — staging experiment
+            kk_all = jax.lax.dot_general(
+                ohs_ref[:], tab_ref[:],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=tab_ref.dtype,
                 precision=jax.lax.Precision.HIGHEST)  # (L, bc, W)
         elif mode == "bf16":
@@ -495,14 +538,21 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
         done_col = done.astype(dtype)[:, None]
     if fused:
         ohs, tab = kappa
-        # layer-major layout for the kernel's batched kappa dot
-        ohs = jnp.moveaxis(ohs, 0, 1)                 # (L, B, K)
-        if _KAPPA_DOT_MODE == "padk":
-            Kp = -(-ohs.shape[-1] // 128) * 128
+        if _OHS_LAYOUT == "batch":
+            # layer-major layout for the kernel's batched kappa dot
+            ohs = jnp.moveaxis(ohs, 0, 1)             # (L, B, K)
+        # else "layer": built layer-major upstream (solver kap_fn ->
+        # tables.layer_interp_weights layer_major=True) — no slab
+        # transpose in the XLA graph
+        if _KAPPA_DOT_MODE in ("padk", "padk32"):
+            align = 128 if _KAPPA_DOT_MODE == "padk" else 32
+            Kp = -(-ohs.shape[-1] // align) * align
             ohs = jnp.pad(ohs, ((0, 0), (0, 0),
                                 (0, Kp - ohs.shape[-1])))
             tab = jnp.pad(tab, ((0, 0), (0, Kp - tab.shape[1]),
                                 (0, 0)))
+        if _KAPPA_DOT_MODE == "tabT":
+            tab = jnp.swapaxes(tab, 1, 2)             # (L, W, K)
         K = ohs.shape[-1]
     if pad:
         def padrows(x):
@@ -529,10 +579,12 @@ def _run_sweep(kernel, dtf, temps, kappa, F_up, F_down, sc: SweepConsts,
     slab = partial(pl.BlockSpec, (bc, L, W), lambda i: (i, 0, 0),
                    memory_space=pltpu.VMEM)
     if fused:
+        tab_block = ((L, W, K) if _KAPPA_DOT_MODE == "tabT"
+                     else (L, K, W))
         kappa_specs = [
             pl.BlockSpec((L, bc, K), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, K, W), lambda i: (0, 0, 0),
+            pl.BlockSpec(tab_block, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         kappa_args = (ohs, tab)

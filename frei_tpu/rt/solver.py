@@ -542,8 +542,14 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
 
     if fused_parts is not None:
         ohs_fn, layer_tab = fused_parts
+        from ..ops import sweep_pallas as _sp
 
         def kap_fn(temps):
+            # layout read at trace time, matching _run_sweep's reading
+            # of the same module global ("layer" = build the weight
+            # slab directly in the kernels' (L, B, K) layout)
+            if _sp._OHS_LAYOUT == "layer":
+                return (ohs_fn(temps, layer_major=True), layer_tab)
             return (ohs_fn(temps), layer_tab)
     else:
         def kap_fn(temps):
