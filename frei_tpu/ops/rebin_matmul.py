@@ -1,10 +1,19 @@
 """Block-banded matmul formulation of the resort-rebin.
 
-The reference's rebin (`/root/reference/frei/interp.py:156-202`) is a
-scatter: each trapezoid panel accumulates into its bin.  On TPU the
-scatter lowers to a serialized per-element update stream, which is why
-the segment-sum engine measures ~0.15 Gsamples/s against ~0.55 for the
-threaded C++ host kernel (`docs/opacities.md`).
+**MEASURED NEGATIVE RESULT — opt-in engine, never chosen by "auto".**
+This engine was built on the premise that XLA's segment-sum scatter
+crawls on TPU.  The round-4 chip session refuted that premise: the
+bin codes are sorted and dense, XLA lowers the segment-sum at ~HBM
+roofline (**72 Gsamples/s** device-resident), and this matmul engine
+measures **0.57 Gsamples/s — 130x slower** than the op it was
+designed to replace (`docs/opacities.md`, `docs/design-notes.md`).
+It is kept as a documented negative result with its parity tests in
+the slow lane; do not re-promote it without a new measurement.
+
+The original (refuted-for-this-op) reasoning: the reference's rebin
+(`/root/reference/frei/interp.py:156-202`) is a scatter — each
+trapezoid panel accumulates into its bin — and scatters often
+serialize on TPU.
 
 But the scatter is an illusion of generality: in every real call the
 sample coordinates ``x`` and the bin ``edges`` are fixed per

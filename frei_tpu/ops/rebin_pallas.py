@@ -1,5 +1,12 @@
 """Pallas TPU kernel for the resort-rebin grouped trapezoid reduction.
 
+**MEASURED NEGATIVE RESULT — opt-in engine, never chosen by "auto".**
+On the round-4 chip session this kernel measured 0.15 Gsamples/s
+device-resident vs the plain XLA segment-sum's 72 Gsamples/s (~HBM
+roofline) — the one-hot matmul formulation loses to the scatter it
+was built to avoid (`docs/opacities.md`).  Kept as a documented
+negative result; parity tests live in the slow lane.
+
 TPU-native replacement for the reference's numba ``Trapz`` kernel
 (`/root/reference/frei/interp.py:156-202`): instead of a sequential
 scalar loop over ~1e6 high-resolution samples per (T, P) table row,

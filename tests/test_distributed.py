@@ -43,6 +43,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow   # 2-process bring-up; the sharded-solve variant
+                    # below and the dryrun cross-process leg cover it
 def test_two_process_initialize_distributed():
     addr = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ, PYTHONPATH=str(REPO))

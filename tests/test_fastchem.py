@@ -73,6 +73,7 @@ def test_h2_dominates_at_depth(profile_solution):
     assert np.exp(ln_p[0, iH]) < np.exp(ln_p[0, iH2]) * 1e-3
 
 
+@pytest.mark.slow   # solver-iteration perf property, not parity
 def test_warm_start_converges_faster():
     table = load_chem_table()
     T = jnp.asarray(T_K[:10])

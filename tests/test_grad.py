@@ -62,7 +62,14 @@ def test_differentiable_forward_bit_identical(setup):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, f)), np.asarray(getattr(dif, f)),
             err_msg=f)
-    # single-column solver too
+
+
+@pytest.mark.slow   # two more solver compiles; the batched test above
+                    # already pins the frozen-body equivalence
+def test_differentiable_forward_bit_identical_single_column(setup):
+    planet, grid, T0 = setup
+    args = (grid._consts, planet.physics_params(), grid._kappa_fn)
+    cfg = dict(n_timesteps=4, convergence_dT=60.0)
     r1 = solve_rc(T0[0], *args, SolverConfig(**cfg))
     d1 = solve_rc(T0[0], *args,
                   SolverConfig(differentiable=True, **cfg))

@@ -38,7 +38,7 @@ def _grid(chemistry=None):
         if "chem" not in _SMALL_CHEM:
             _SMALL_CHEM["chem"] = FastChemJAX(
                 stack.species, planet.m_bar, mode="table",
-                grid_shape=(8, 6))
+                grid_shape=(4, 3))
         chemistry = _SMALL_CHEM["chem"]
     grid.load_opacities(opacities=stack, chemistry=chemistry)
     return planet, grid
@@ -75,10 +75,7 @@ def test_equilibrium_grid_uses_layer_factored_chemistry():
         np.asarray(chem.layer_mmr_interp(press)(T)), rtol=1e-12)
 
 
-def test_entry_points_route_through_shared_builder(monkeypatch):
-    """api.Grid and parallel.solve_ensemble (outer + in-shard rebuild)
-    must construct their kappa models via opacity.hotpath — a
-    hand-rolled copy would dodge this recorder and fail."""
+def _recording_hotpath(monkeypatch):
     calls = []
     real_build = hotpath.build_kappa_model
     real_from_lt = hotpath.kappa_model_from_layer_tables
@@ -96,9 +93,23 @@ def test_entry_points_route_through_shared_builder(monkeypatch):
     monkeypatch.setattr(hotpath, "build_kappa_model", rec_build)
     monkeypatch.setattr(hotpath, "kappa_model_from_layer_tables",
                         rec_from_lt)
+    return calls
 
+
+def test_grid_routes_through_shared_builder(monkeypatch):
+    """api.Grid must construct its kappa model via opacity.hotpath —
+    a hand-rolled copy would dodge this recorder and fail."""
+    calls = _recording_hotpath(monkeypatch)
     planet, grid = _grid()
     assert ("build", True) in calls
+
+
+@pytest.mark.slow   # interpret-mode sharded-solve compile (~12 s)
+def test_ensemble_routes_through_shared_builder(monkeypatch):
+    """parallel.solve_ensemble (outer wiring + the in-shard rebuild
+    inside shard_map) must route through opacity.hotpath too."""
+    calls = _recording_hotpath(monkeypatch)
+    planet, grid = _grid()
     calls.clear()
 
     base = np.asarray(grid.rt_grid.init_temperatures)

@@ -200,7 +200,12 @@ def test_population_matches_individual_planets(setup):
     assert res.flux.shape == (2, 64)
 
     from frei_tpu import Grid, load_example_opacity
-    for c, p in enumerate(planets):
+
+    # one independent-solve cross-check in the fast lane (the planet
+    # most different from the shared default — per-planet F_toa, g and
+    # alpha all diverge); the dryrun's population leg and the slow
+    # lane cover every column
+    for c, p in [(1, planets[1])]:
         g1 = Grid(p, n_wl_bins=64, n_layers=10, T_ref=2400.0,
                   dtype=jnp.float64)
         g1.load_opacities(opacities=load_example_opacity(

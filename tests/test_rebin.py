@@ -77,6 +77,7 @@ def test_reference_scaling(problem):
                                rtol=1e-12)
 
 
+@pytest.mark.slow   # opt-in negative-result engine (docs/opacities.md)
 def test_pallas_kernel_matches_xla(problem):
     x, edges, values = problem
     want = np.asarray(resort_rebin(
@@ -88,6 +89,7 @@ def test_pallas_kernel_matches_xla(problem):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.slow   # opt-in negative-result engine (docs/opacities.md)
 def test_pallas_kernel_padding_edges():
     """Ragged sizes: rows/samples not multiples of the tile sizes."""
     rng = np.random.RandomState(9)
@@ -140,6 +142,7 @@ def test_grouped_aggregate_trapz_alias():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow   # opt-in negative-result engine (docs/opacities.md)
 def test_matmul_engine_matches_oracle(problem):
     """The block-banded MXU formulation (static x/edges -> scan of
     dense per-tile dots, ops/rebin_matmul.py) against the float64
@@ -159,6 +162,7 @@ def test_matmul_engine_matches_oracle(problem):
                                atol=2e-5 * scale)
 
 
+@pytest.mark.slow   # opt-in negative-result engine (docs/opacities.md)
 def test_matmul_engine_small_tiles(problem):
     """Forcing many tiles (tile smaller than a bin's sample count)
     exercises the cross-tile partial-bin accumulation: a bin split
@@ -175,6 +179,7 @@ def test_matmul_engine_small_tiles(problem):
                                atol=1e-10 * np.abs(want).max())
 
 
+@pytest.mark.slow   # opt-in negative-result engine (docs/opacities.md)
 def test_matmul_engine_degenerate_cases():
     from frei_tpu.ops.rebin_matmul import make_resort_rebin_matmul
 
@@ -196,6 +201,7 @@ def test_matmul_engine_degenerate_cases():
                                atol=1e-10 * max(np.abs(want).max(), 1e-30))
 
 
+@pytest.mark.slow   # opt-in negative-result engine (docs/opacities.md)
 def test_matmul_engine_auto_tile_bounds_span():
     """Log-spaced edges over linearly-spaced samples give very few
     samples per bin at short wavelengths; the factory must shrink its

@@ -92,6 +92,7 @@ def test_lbfgs_recovers_g_T0scale_irradiation(setup):
         f"recovered {got} vs true {want} (rel err {rel})")
 
 
+@pytest.mark.slow   # jacobian through the remat solver (~15 s CPU)
 def test_mixing_length_alpha_is_not_identifiable(setup):
     """Pinned negative result: d(spectrum)/d(log alpha) is tiny.
 

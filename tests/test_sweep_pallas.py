@@ -108,10 +108,12 @@ def test_batched_solver_xla_engine_equals_vmap(setup):
 
 @pytest.mark.parametrize(
     "engine",
-    ["pallas-interpret",
-     # the mega-kernel engines compile multi-minute interpret-mode
-     # traces — slow lane (the two-kernel engine above stays in the
-     # fast lane as the Pallas-path representative)
+    [# all interpret-mode whole-trajectory parametrizations are slow
+     # lane (round-5 fast-lane budget): fast-lane Pallas coverage is
+     # the per-sweep kernel parity (test_sweep_kernel_matches_xla)
+     # plus the converged-solve parity
+     # (test_grid_emission_spectra_matches_per_column)
+     pytest.param("pallas-interpret", marks=pytest.mark.slow),
      pytest.param("pallas-iteration-interpret", marks=pytest.mark.slow),
      pytest.param("pallas-loop-interpret", marks=pytest.mark.slow)])
 def test_batched_solver_pallas_engine_trajectory(engine):
