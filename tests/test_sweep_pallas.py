@@ -227,6 +227,45 @@ def test_planck_table_mode_bounded_error(setup):
     assert 0 < diff < 5e-6   # 0 would mean the mode never engaged
 
 
+@pytest.mark.slow   # fresh interpret-mode traces per configuration
+@pytest.mark.parametrize("layout,mode", [
+    ("layer", "batched"), ("batch", "padk32"), ("batch", "tabT")])
+def test_staging_experiment_modes_exact(setup, layout, mode):
+    """The round-5 staging-experiment lowerings (committed negative
+    results, docs/design-notes.md) must stay numerically exact vs the
+    production path: layer-major weight generation and padk32 are
+    bit-identical; tabT reorders the K-sum (float-order only)."""
+    import warnings
+
+    import frei_tpu.ops.sweep_pallas as sp
+
+    planet, grid, params, T, *_ = setup
+    cfg = SolverConfig(n_timesteps=2, engine="pallas-interpret")
+    ref = solve_rc_batched(T, grid._consts, planet.physics_params(),
+                           grid._kappa_fn, cfg)
+    jax.clear_caches()     # modes are trace-time module state
+    sp.set_ohs_layout(layout)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sp.set_kappa_dot_mode(mode)
+    try:
+        got = solve_rc_batched(T, grid._consts,
+                               planet.physics_params(),
+                               grid._kappa_fn, cfg)
+    finally:
+        sp.set_ohs_layout("batch")
+        sp.set_kappa_dot_mode("batched")
+        jax.clear_caches()
+    if mode == "tabT":
+        np.testing.assert_allclose(np.asarray(got.flux),
+                                   np.asarray(ref.flux), rtol=1e-10)
+    else:
+        np.testing.assert_array_equal(np.asarray(got.flux),
+                                      np.asarray(ref.flux))
+    np.testing.assert_allclose(np.asarray(got.final_temps),
+                               np.asarray(ref.final_temps), rtol=1e-12)
+
+
 def test_layer_tables_match_bilinear(setup):
     """P-interp hoisting reproduces the 4-corner bilinear kappa,
     including out-of-hull zeros."""
