@@ -99,8 +99,8 @@ class _ReuseCache:
     The failure mode of identity keying is SILENT: a loop that
     rebuilds ``Grid`` / ``RTConstants`` per step misses every time and
     pays a full XLA compile (~30-90 s on TPU) per iteration.  A miss
-    whose value-keyed parts (cfg/mesh) equal a cached entry — i.e. the
-    caller rebuilt equal-valued input objects — therefore logs a
+    whose value-keyed parts (cfg/mesh) AND array shapes equal a
+    cached entry — the caller rebuilt equal input objects — logs a
     WARNING naming the reuse contract; hit/miss counters are exposed
     via :func:`reuse_cache_stats`.
     """
@@ -127,14 +127,18 @@ class _ReuseCache:
                 self.hits += 1
                 return v
         self.misses += 1
+        sig = self._shape_sig(key)
         if any(self._value_parts_equal(k, key)
+               and self._shape_sig(k) == sig
                for k, _ in self._entries):
             # The footgun signature: a cached solver exists whose
-            # value-keyed parts (cfg, mesh, scalars) are EQUAL, so the
-            # only difference is identity of the array-carrying inputs
-            # — the caller rebuilt Grid/RTConstants/stack/chem between
-            # calls and is recompiling work it meant to reuse.
-            # Deliberately different cfg/mesh legs stay silent.
+            # value-keyed parts (cfg, mesh, scalars) are EQUAL and
+            # whose array inputs have the SAME shapes, so the only
+            # difference is object identity — the caller rebuilt
+            # equal Grid/RTConstants/stack/chem objects between calls
+            # and is recompiling work it meant to reuse.
+            # Deliberately different cfg/mesh/problem-size legs stay
+            # silent.
             _log.warning(
                 "%s reuse-cache MISS #%d (hits=%d): same cfg/mesh as "
                 "a cached solver but the consts/params/stack/chem "
@@ -151,6 +155,21 @@ class _ReuseCache:
             (not isinstance(a, cls._EQ_TYPES))
             or (type(a) is type(b) and a == b)
             for a, b in zip(k1, k2))
+
+    @staticmethod
+    def _shape_sig(key):
+        """Array-shape signature of a key's components (None for
+        shapeless objects): two keys with different problem sizes are
+        a legitimate recompile, not the rebuilt-inputs footgun."""
+        out = []
+        for k in key:
+            if hasattr(k, "_fields"):     # NamedTuple of arrays
+                out.append(tuple(
+                    getattr(getattr(k, f), "shape", None)
+                    for f in k._fields))
+            else:
+                out.append(getattr(k, "shape", None))
+        return tuple(out)
 
     def put(self, key, value):
         self._entries.append((key, value))
