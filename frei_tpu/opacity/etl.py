@@ -596,9 +596,16 @@ def download_atom(atom, charge, linelist,
 def make_synthetic_store(out_path, isotopologue="1H2-16O",
                          n_hr=200_000, temps=(1000.0, 2000.0, 3000.0),
                          press_bar=(1e-4, 1e-2, 1.0, 100.0), seed=7,
-                         lam_range_um=(0.4, 11.0)):
+                         lam_range_um=(0.4, 11.0),
+                         linelist="synthetic"):
     """Deterministic synthetic high-resolution store for tests and
-    benchmarks (no multi-GB download needed)."""
+    benchmarks (no multi-GB download needed).
+
+    The cube is written one temperature row at a time through an
+    ``open_memmap``, so generating even a reference-volume store
+    (5+ GB, tools/etl_volume.py) never holds the cube in memory;
+    values are identical to the previous whole-cube construction (the
+    float32 cast commutes with row slicing)."""
     rng = np.random.RandomState(seed)
     wav = np.linspace(lam_range_um[0], lam_range_um[1], n_hr)
     nT, nP = len(temps), len(press_bar)
@@ -608,10 +615,24 @@ def make_synthetic_store(out_path, isotopologue="1H2-16O",
                             rng.uniform(0.5, 10.0, 40),
                             rng.uniform(2e-4, 2e-2, 40)):
         lines += amp * np.exp(-0.5 * (wav - mu) ** 2 / sig ** 2)
-    cube = np.empty((nT, nP, n_hr), dtype=np.float32)
+    out = Path(out_path)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "meta.json").write_text(json.dumps({
+        "isotopologue": isotopologue,
+        "linelist": linelist,
+        "temperatures_K": list(map(float, temps)),
+        "pressures_bar": list(map(float, press_bar)),
+        "shape": [nT, nP, n_hr],
+    }, indent=1))
+    np.save(out / "wavelength_um.npy", np.asarray(wav, np.float64))
+    cube = np.lib.format.open_memmap(
+        out / "cube.npy", mode="w+", dtype=np.float32,
+        shape=(nT, nP, n_hr))
+    pscale = 1.0 + 0.1 * np.log10(np.asarray(press_bar) / 1e-4)
     for i, T in enumerate(temps):
-        for j, P in enumerate(press_bar):
-            cube[i, j] = ((base * (T / 2000.0) + lines)
-                          * (1.0 + 0.1 * np.log10(P / 1e-4)))
-    return _write_store(out_path, isotopologue, "synthetic", temps,
-                        press_bar, wav, cube)
+        row = base * (T / 2000.0) + lines
+        for j in range(nP):
+            cube[i, j] = row * pscale[j]
+        cube.flush()
+    del cube
+    return out

@@ -23,7 +23,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import subprocess
 import sys
@@ -38,42 +37,13 @@ sys.path.insert(0, str(REPO))
 
 def generate_store(out_path, isotopologue, n_hr, temps, press_bar,
                    seed=7):
-    """Chunk-written synthetic store with the same spectral recipe as
-    `frei_tpu.opacity.etl.make_synthetic_store`, built one temperature
-    row at a time so generation never holds the cube in memory."""
-    from frei_tpu.opacity.etl import _write_store  # noqa: F401 (doc)
+    """Row-chunked synthetic store (RSS-bounded generation lives in
+    the library: `frei_tpu.opacity.etl.make_synthetic_store`)."""
+    from frei_tpu.opacity.etl import make_synthetic_store
 
-    out = Path(out_path)
-    out.mkdir(parents=True, exist_ok=True)
-    rng = np.random.RandomState(seed)
-    wav = np.linspace(0.4, 11.0, n_hr)
-    nT, nP = len(temps), len(press_bar)
-    base = np.exp(-0.5 * (wav - 6.0) ** 2 / 4.0).astype(np.float32)
-    lines = np.zeros_like(wav, dtype=np.float32)
-    for amp, mu, sig in zip(rng.uniform(0.1, 1.0, 40),
-                            rng.uniform(0.5, 10.0, 40),
-                            rng.uniform(2e-4, 2e-2, 40)):
-        lines += (amp * np.exp(-0.5 * (wav - mu) ** 2 / sig ** 2)
-                  ).astype(np.float32)
-    (out / "meta.json").write_text(json.dumps({
-        "isotopologue": isotopologue,
-        "linelist": "synthetic-volume",
-        "temperatures_K": list(map(float, temps)),
-        "pressures_bar": list(map(float, press_bar)),
-        "shape": [nT, nP, n_hr],
-    }, indent=1))
-    np.save(out / "wavelength_um.npy", wav)
-    cube = np.lib.format.open_memmap(
-        out / "cube.npy", mode="w+", dtype=np.float32,
-        shape=(nT, nP, n_hr))
-    pscale = (1.0 + 0.1 * np.log10(np.asarray(press_bar) / 1e-4))
-    for i, T in enumerate(temps):
-        row = base * np.float32(T / 2000.0) + lines
-        for j in range(nP):
-            cube[i, j] = row * np.float32(pscale[j])
-        cube.flush()
-    del cube
-    return out
+    return make_synthetic_store(
+        out_path, isotopologue=isotopologue, n_hr=n_hr, temps=temps,
+        press_bar=press_bar, seed=seed, linelist="synthetic-volume")
 
 
 _MEASURE = r"""
