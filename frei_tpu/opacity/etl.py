@@ -66,8 +66,11 @@ class OpacityStore:
         return iso_to_species(self.isotopologue)
 
 
-def _write_store(out_path, isotopologue, linelist, temps, press_bar,
-                 wavelength_um, cube):
+def _write_store_header(out_path, isotopologue, linelist, temps,
+                        press_bar, wavelength_um, shape):
+    """The store's on-disk format lives HERE only (meta.json key set +
+    float64 wavelength axis) — both the whole-cube and the streaming
+    writers share it, so the format cannot silently fork."""
     out = Path(out_path)
     out.mkdir(parents=True, exist_ok=True)
     (out / "meta.json").write_text(json.dumps({
@@ -75,10 +78,17 @@ def _write_store(out_path, isotopologue, linelist, temps, press_bar,
         "linelist": linelist,
         "temperatures_K": list(map(float, temps)),
         "pressures_bar": list(map(float, press_bar)),
-        "shape": list(np.shape(cube)),
+        "shape": list(shape),
     }, indent=1))
     np.save(out / "wavelength_um.npy",
             np.asarray(wavelength_um, np.float64))
+    return out
+
+
+def _write_store(out_path, isotopologue, linelist, temps, press_bar,
+                 wavelength_um, cube):
+    out = _write_store_header(out_path, isotopologue, linelist, temps,
+                              press_bar, wavelength_um, np.shape(cube))
     np.save(out / "cube.npy", np.asarray(cube, np.float32))
     return out
 
@@ -245,7 +255,11 @@ def _advise_dontneed(arr, byte_start=None, byte_stop=None):
         page = _mmap.PAGESIZE
         data_off = getattr(arr, "offset", 0)
         lo = ((data_off + byte_start) // page) * page
-        hi = min(-(-(data_off + byte_stop) // page) * page, len(mm))
+        # round the end DOWN: the boundary page may hold the next
+        # chunk's first bytes, and dropping it would discard readahead
+        # we just paid for (the next call's floor-rounded lo drops it
+        # once it is fully consumed)
+        hi = min(((data_off + byte_stop) // page) * page, len(mm))
         if hi > lo:
             mm.madvise(_mmap.MADV_DONTNEED, lo, hi - lo)
     except (AttributeError, OSError, ValueError):  # pragma: no cover
@@ -615,19 +629,15 @@ def make_synthetic_store(out_path, isotopologue="1H2-16O",
                             rng.uniform(0.5, 10.0, 40),
                             rng.uniform(2e-4, 2e-2, 40)):
         lines += amp * np.exp(-0.5 * (wav - mu) ** 2 / sig ** 2)
-    out = Path(out_path)
-    out.mkdir(parents=True, exist_ok=True)
-    (out / "meta.json").write_text(json.dumps({
-        "isotopologue": isotopologue,
-        "linelist": linelist,
-        "temperatures_K": list(map(float, temps)),
-        "pressures_bar": list(map(float, press_bar)),
-        "shape": [nT, nP, n_hr],
-    }, indent=1))
-    np.save(out / "wavelength_um.npy", np.asarray(wav, np.float64))
+    out = _write_store_header(out_path, isotopologue, linelist, temps,
+                              press_bar, wav, (nT, nP, n_hr))
+    # stream into a temp name, rename when complete: open_memmap
+    # creates the FULL-SIZE file up front, so an interrupted
+    # generation would otherwise leave a valid-looking cube of zeros
+    # that a later existence check happily benchmarks
+    tmp = out / "cube.npy.tmp"
     cube = np.lib.format.open_memmap(
-        out / "cube.npy", mode="w+", dtype=np.float32,
-        shape=(nT, nP, n_hr))
+        tmp, mode="w+", dtype=np.float32, shape=(nT, nP, n_hr))
     pscale = 1.0 + 0.1 * np.log10(np.asarray(press_bar) / 1e-4)
     for i, T in enumerate(temps):
         row = base * (T / 2000.0) + lines
@@ -635,4 +645,5 @@ def make_synthetic_store(out_path, isotopologue="1H2-16O",
             cube[i, j] = row * pscale[j]
         cube.flush()
     del cube
+    os.replace(tmp, out / "cube.npy")
     return out

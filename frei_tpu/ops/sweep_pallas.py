@@ -90,11 +90,14 @@ _OHS_LAYOUTS = ("batch", "layer")
 def set_ohs_layout(layout: str) -> None:
     """Select the weight-slab handoff layout (see ``_OHS_LAYOUT``).
     Exact lowering variant; takes effect at the next trace — clear jit
-    caches between layouts."""
+    caches between layouts.  "layer" warns: it is a committed negative
+    result (measured 61% SLOWER, docs/design-notes.md round 5)."""
     global _OHS_LAYOUT
     if layout not in _OHS_LAYOUTS:
         raise ValueError(f"unknown ohs layout {layout!r} "
                          f"(expected one of {_OHS_LAYOUTS})")
+    if layout != "batch":
+        _warn_nonbatched(layout, "set_ohs_layout")
     _OHS_LAYOUT = layout
 
 
@@ -125,6 +128,8 @@ if _KAPPA_DOT_MODE not in _KAPPA_DOT_MODES:
         f"(expected one of {_KAPPA_DOT_MODES})")
 if _KAPPA_DOT_MODE != "batched":
     _warn_nonbatched(_KAPPA_DOT_MODE, "env FREI_KAPPA_DOT")
+if _OHS_LAYOUT != "batch":
+    _warn_nonbatched(_OHS_LAYOUT, "env FREI_OHS_LAYOUT")
 
 
 def set_kappa_dot_mode(mode: str) -> None:

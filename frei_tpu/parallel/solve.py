@@ -36,6 +36,14 @@ __all__ = ["initialize_distributed", "reuse_cache_stats",
 _log = logging.getLogger("frei_tpu.parallel")
 
 
+def _flatten(x):
+    if isinstance(x, tuple):
+        for item in x:
+            yield from _flatten(item)
+    else:
+        yield x
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
@@ -128,24 +136,29 @@ class _ReuseCache:
                 return v
         self.misses += 1
         sig = self._shape_sig(key)
-        if any(self._value_parts_equal(k, key)
-               and self._shape_sig(k) == sig
-               for k, _ in self._entries):
+        informative = any(s is not None for s in _flatten(sig))
+        if informative and any(
+                self._value_parts_equal(k, key)
+                and self._shape_sig(k) == sig
+                for k, _ in self._entries):
             # The footgun signature: a cached solver exists whose
             # value-keyed parts (cfg, mesh, scalars) are EQUAL and
             # whose array inputs have the SAME shapes, so the only
             # difference is object identity — the caller rebuilt
-            # equal Grid/RTConstants/stack/chem objects between calls
-            # and is recompiling work it meant to reuse.
-            # Deliberately different cfg/mesh/problem-size legs stay
-            # silent.
+            # equal input objects between calls and is recompiling
+            # work it meant to reuse.  Deliberately different
+            # cfg/mesh/problem-size legs stay silent, and a key whose
+            # shape signature carries no information (no
+            # array-bearing components) never warns — the heuristic
+            # cannot tell rebuilt-equal from genuinely-different
+            # there.
             _log.warning(
-                "%s reuse-cache MISS #%d (hits=%d): same cfg/mesh as "
-                "a cached solver but the consts/params/stack/chem "
-                "objects are not the identical objects — recompiling "
-                "the sharded solve (~30-90 s on TPU). Build those "
-                "once outside the loop and pass the SAME objects to "
-                "reuse (docs/retrieval.md).",
+                "%s reuse-cache MISS #%d (hits=%d): same cfg/mesh "
+                "and input shapes as a cached solver, but the "
+                "identity-keyed input objects are not the SAME "
+                "objects — recompiling the sharded solve (~30-90 s "
+                "on TPU). Build the inputs once outside the loop and "
+                "pass the same objects to reuse (docs/retrieval.md).",
                 self.name, self.misses, self.hits)
         return None
 
@@ -161,15 +174,17 @@ class _ReuseCache:
         """Array-shape signature of a key's components (None for
         shapeless objects): two keys with different problem sizes are
         a legitimate recompile, not the rebuilt-inputs footgun."""
-        out = []
-        for k in key:
+        def sig_of(k):
             if hasattr(k, "_fields"):     # NamedTuple of arrays
-                out.append(tuple(
-                    getattr(getattr(k, f), "shape", None)
-                    for f in k._fields))
-            else:
-                out.append(getattr(k, "shape", None))
-        return tuple(out)
+                return tuple(getattr(getattr(k, f), "shape", None)
+                             for f in k._fields)
+            # Grid-like driver objects: their problem size lives in
+            # the RTConstants they carry (population-cache key)
+            consts = getattr(k, "_consts", None)
+            if consts is not None and hasattr(consts, "_fields"):
+                return sig_of(consts)
+            return getattr(k, "shape", None)
+        return tuple(sig_of(k) for k in key)
 
     def put(self, key, value):
         self._entries.append((key, value))

@@ -160,26 +160,42 @@ def test_ensemble_solver_reuse(setup, monkeypatch):
 
 def test_reuse_cache_warns_on_repeat_miss(caplog):
     """The identity-key failure mode (rebuilding inputs per step ->
-    recompile per likelihood evaluation) must be LOUD: every miss
-    after the first logs a warning naming the reuse contract
-    (round-4 review: misses were silent)."""
+    recompile per likelihood evaluation) must be LOUD — but only for
+    the true footgun: a rebuilt key with the SAME cfg/mesh AND the
+    same array shapes.  Different problem sizes, and keys whose shape
+    signature carries no information, stay silent (round-5 review:
+    the first heuristic false-positived on both)."""
     import logging
 
     from frei_tpu.parallel.solve import _ReuseCache
 
     cache = _ReuseCache("unit-test")
-    k1, k2 = (object(),), (object(),)
+    k1 = (np.zeros(3),)                      # distinct-but-equal-shape
+    k2 = (np.zeros(3),)                      # rebuilt inputs: WARN
+    k3 = (np.zeros(5),)                      # different problem: silent
+    k4, k5 = (object(),), (object(),)        # shapeless: silent
     with caplog.at_level(logging.WARNING, logger="frei_tpu.parallel"):
         assert cache.get(k1) is None          # first build: silent
         assert not caplog.records
         cache.put(k1, "solver-1")
         assert cache.get(k1) == "solver-1"    # hit: silent
         assert not caplog.records
+        assert cache.get(k3) is None          # new size: silent miss
+        assert not caplog.records
         assert cache.get(k2) is None          # rebuild-per-step miss
     assert any("reuse-cache MISS" in r.message for r in caplog.records)
     assert any("docs/retrieval.md" in r.getMessage()
                for r in caplog.records)
-    assert cache.stats() == {"hits": 1, "misses": 2, "entries": 1}
+    assert cache.stats() == {"hits": 1, "misses": 3, "entries": 1}
+    # uninformative keys never warn (the heuristic cannot distinguish
+    # rebuilt-equal from genuinely-different there)
+    caplog.clear()
+    shapeless = _ReuseCache("unit-test-2")
+    with caplog.at_level(logging.WARNING, logger="frei_tpu.parallel"):
+        shapeless.get(k4)
+        shapeless.put(k4, "s")
+        shapeless.get(k5)
+    assert not caplog.records
 
 
 def test_population_matches_individual_planets(setup):

@@ -244,9 +244,9 @@ def test_staging_experiment_modes_exact(setup, layout, mode):
     ref = solve_rc_batched(T, grid._consts, planet.physics_params(),
                            grid._kappa_fn, cfg)
     jax.clear_caches()     # modes are trace-time module state
-    sp.set_ohs_layout(layout)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
+        sp.set_ohs_layout(layout)
         sp.set_kappa_dot_mode(mode)
     try:
         got = solve_rc_batched(T, grid._consts,

@@ -103,9 +103,9 @@ def main():
     results = []
     ref_flux = None
     for layout, mode in CONFIGS:
-        sp.set_ohs_layout(layout)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
+            sp.set_ohs_layout(layout)
             sp.set_kappa_dot_mode(mode)
         try:
             wall, compile_s, flux = run()
