@@ -126,8 +126,16 @@ def radiative_timestep(T_1, T_2, p_1, p_2, div, dz, params: PhysicsParams):
       (`twostream.py:39-43`).
     """
     dF_dz = div * dz
+    # double-where: the untaken branch at dF_dz == 0 evaluates
+    # 1e5 / 0**0.9 = inf, whose reverse-mode cotangent is NaN even
+    # though the branch is masked (inf * 0).  Unreachable in float64
+    # test shapes, but at float32 a near-converged layer lands on
+    # exactly 0 and poisons every gradient upstream (measured:
+    # non-finite retrieval gradients at the 20-iteration float32
+    # headline shape until this guard).
+    dF_safe = jnp.where(dF_dz != 0.0, dF_dz, 1.0)
     f_pre = jnp.where(dF_dz != 0.0,
-                      1e5 / jnp.abs(dF_dz) ** 0.9,
+                      1e5 / jnp.abs(dF_safe) ** 0.9,
                       1.0)
     dt_rad = c_p(params) * p_1 / (const.sigma_sb * params.g * T_1 ** 3)
     dg = delta_gamma(T_1, T_2, p_1, p_2, params)

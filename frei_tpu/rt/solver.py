@@ -97,6 +97,17 @@ class SolverConfig(NamedTuple):
     # running frozen).  XLA engine only: the Pallas kernels carry no
     # autodiff rules ("auto" resolves to xla when set).
     differentiable: bool = False
+    # Iterations per rematerialization chunk of the differentiable
+    # scan.  0 = auto (~sqrt(n_timesteps)); 1 = checkpoint every
+    # iteration.  The scan saves its carry — two (B, L, W) flux slabs
+    # — at every CHECKPOINT boundary for the backward pass, so
+    # per-iteration checkpointing stores n_timesteps x ~1 GB at the
+    # headline shape and OOMs a 16 GB chip at 8192 columns (measured:
+    # 29.8 G requested).  sqrt-chunking stores n_timesteps/c boundary
+    # carries plus one chunk of inner carries transiently
+    # (~(T/c + c) slabs, minimized at c ~ sqrt(T)) and is
+    # bit-identical: the same body runs in the same order.
+    remat_chunk: int = 0
 
 
 class RTConstants(NamedTuple):
@@ -530,6 +541,16 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
                 )(T, Fu, Fd, K)
                 return r.F_up, r.F_down, r.temps, r.dT
 
+            if cfg.differentiable:
+                # per-sweep rematerialization: a sweep's layer scan
+                # carries ~10 (B, L, W) coupler/Planck intermediates;
+                # without this the backward of ONE iteration holds
+                # both sweeps' sets at once (the measured difference
+                # between fitting and OOMing the 8192-column headline
+                # shape on a 16 GB chip, docs/retrieval.md)
+                emit = jax.checkpoint(emit)
+                absorb = jax.checkpoint(absorb)
+
         iteration = None
     else:
         raise ValueError(f"unknown sweep engine {cfg.engine!r}")
@@ -664,14 +685,38 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         jnp.zeros((B,), dtype=bool),
     )
     if cfg.differentiable:
-        # fixed-horizon scan with per-iteration rematerialization:
+        # fixed-horizon scan with CHUNKED rematerialization:
         # reverse-differentiable, and bit-identical to the while_loop
-        # (converged columns freeze through the same `done` selects)
-        def scan_body(carry, _):
-            return body(carry), None
+        # (converged columns freeze through the same `done` selects).
+        # Memory: the backward pass keeps the carry — two (B, L, W)
+        # flux slabs — per checkpoint boundary, so chunking at
+        # ~sqrt(T) iterations turns T slabs into ~2*sqrt(T)
+        # (see SolverConfig.remat_chunk; measured OOM fix at the
+        # 8192-column headline shape).
+        T = cfg.n_timesteps
+        chunk = cfg.remat_chunk or max(1, int(round(T ** 0.5)))
+        chunk = min(chunk, T)
 
-        carry_n, _ = lax.scan(jax.checkpoint(scan_body), carry0, None,
-                              length=cfg.n_timesteps)
+        def run_steps(carry, n):
+            # the inner body is checkpointed too: an un-checkpointed
+            # inner scan's VJP saves every iteration's INTERMEDIATES
+            # (~10 (B, L, W) slabs each, measured 203 GB requested at
+            # the headline shape), not just the carries
+            def inner(c2, _):
+                return body(c2), None
+            return lax.scan(jax.checkpoint(inner), carry, None,
+                            length=n)[0]
+
+        n_full, rem = divmod(T, chunk)
+
+        @jax.checkpoint
+        def chunk_body(carry, _):
+            return run_steps(carry, chunk), None
+
+        carry_n, _ = lax.scan(chunk_body, carry0, None, length=n_full)
+        if rem:
+            carry_n = jax.checkpoint(
+                lambda c2: run_steps(c2, rem))(carry_n)
     else:
         carry_n = lax.while_loop(cond, body, carry0)
     (it, n_iters, temps, F_up, F_down, cs, hist, maxdT, conv_layers,

@@ -197,3 +197,32 @@ def test_differentiable_rejects_pallas_engines(setup):
                 grid._kappa_fn,
                 SolverConfig(engine=engine, differentiable=True,
                              n_timesteps=1))
+
+
+def test_radiative_timestep_grad_finite_at_zero_divergence(setup):
+    """Round-5 float32 regression: at ``div == 0`` the untaken branch
+    of the timestep prefactor evaluates ``1e5 / 0**0.9 = inf``, whose
+    reverse-mode cotangent is NaN through ``jnp.where`` (inf * 0) —
+    unreachable in float64 test shapes, but a near-converged float32
+    layer lands on exactly zero and poisoned every retrieval gradient
+    upstream.  Pinned at the exact trap input."""
+    from frei_tpu.rt import physics
+
+    planet, *_ = setup
+    p = planet.physics_params()
+
+    def f(div):
+        return jnp.sum(physics.radiative_timestep(
+            jnp.float64(1800.0), jnp.float64(1750.0),
+            jnp.float64(2.0e6), jnp.float64(1.0e6),
+            div, jnp.float64(1.0e7), p))
+
+    for v in (0.0, 1e-3):
+        g = jax.grad(f)(jnp.float64(v))
+        assert np.isfinite(float(g)), (v, float(g))
+    # float32 too (the dtype that actually hit it)
+    g32 = jax.grad(lambda d: jnp.sum(physics.radiative_timestep(
+        jnp.float32(1800.0), jnp.float32(1750.0), jnp.float32(2.0e6),
+        jnp.float32(1.0e6), d, jnp.float32(1.0e7), p).astype(jnp.float32)))(
+        jnp.float32(0.0))
+    assert np.isfinite(float(g32))
