@@ -44,8 +44,15 @@ def c_p(params: PhysicsParams):
 
 
 def delta_z(T_1, p_1, p_2, params: PhysicsParams):
-    """Layer geometric thickness (Malik Eq. 18, `twostream.py:180-187`)."""
-    return (const.k_B * T_1) / (params.m_bar * params.g) * jnp.log(p_1 / p_2)
+    """Layer geometric thickness (Malik Eq. 18, `twostream.py:180-187`).
+
+    Sequential divisions on purpose: forming ``m_bar * g`` first makes
+    a ~1e-20 CGS product whose reverse-mode quotient rule squares it
+    to ~1e-40 — the reciprocal overflows float32 and every gradient
+    w.r.t. gravity came back inf (round-5 chip finding; value is the
+    same expression in a different association, ~1-ulp)."""
+    return (const.k_B * T_1 / params.m_bar) / params.g \
+        * jnp.log(p_1 / p_2)
 
 
 def delta_tau(kappa, p_1, p_2, g):
@@ -74,8 +81,11 @@ def delta_gamma(T_1, T_2, p_1, p_2, params: PhysicsParams):
 
 
 def mixing_length(T_1, params: PhysicsParams):
-    """Mixing length alpha * k_B T / (m_bar g) (`twostream.py:269-270`)."""
-    return params.alpha * const.k_B * T_1 / (params.m_bar * params.g)
+    """Mixing length alpha * k_B T / (m_bar g) (`twostream.py:269-270`).
+
+    Sequential divisions: same float32 gradient-overflow hazard as
+    :func:`delta_z` (the ``m_bar * g`` product is ~1e-20 CGS)."""
+    return params.alpha * (const.k_B * T_1 / params.m_bar) / params.g
 
 
 def convective_flux(T_1, T_2, p_1, p_2, params: PhysicsParams):

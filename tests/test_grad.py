@@ -49,19 +49,31 @@ def _fixed_cfg(**kw):
 def test_differentiable_forward_bit_identical(setup):
     """Fixed-horizon scan == while_loop, WITH live convergence (a
     huge dT threshold converges columns at different iterations, so
-    the frozen-body equivalence is actually exercised)."""
+    the frozen-body equivalence is actually exercised).  Checked for
+    the auto remat chunk (2 at T=4, divides evenly), an explicit
+    chunk with a REMAINDER leg (3 at T=4 -> one full chunk + rem 1),
+    and chunk=1 (per-iteration checkpointing)."""
     planet, grid, T0 = setup
     args = (grid._consts, planet.physics_params(), grid._kappa_fn)
     cfg = dict(n_timesteps=4, convergence_dT=60.0)
     ref = solve_rc_batched(T0, *args, SolverConfig(engine="xla", **cfg))
-    dif = solve_rc_batched(
-        T0, *args, SolverConfig(engine="xla", differentiable=True, **cfg))
     assert int(np.max(np.asarray(ref.n_iterations))) < 4, \
         "test needs early convergence to exercise the frozen body"
-    for f in ref._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(ref, f)), np.asarray(getattr(dif, f)),
-            err_msg=f)
+    for chunk in (0, 3, 1):
+        dif = solve_rc_batched(
+            T0, *args, SolverConfig(engine="xla", differentiable=True,
+                                    remat_chunk=chunk, **cfg))
+        for f in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f)),
+                np.asarray(getattr(dif, f)),
+                err_msg=f"{f} (remat_chunk={chunk})")
+    # a negative chunk would run a ZERO-length scan and return the
+    # initial state as the solution — must refuse loudly
+    with pytest.raises(ValueError, match="remat_chunk"):
+        solve_rc_batched(
+            T0, *args, SolverConfig(engine="xla", differentiable=True,
+                                    remat_chunk=-1, **cfg))
 
 
 @pytest.mark.slow   # two more solver compiles; the batched test above
@@ -226,3 +238,38 @@ def test_radiative_timestep_grad_finite_at_zero_divergence(setup):
         jnp.float32(1.0e6), d, jnp.float32(1.0e7), p).astype(jnp.float32)))(
         jnp.float32(0.0))
     assert np.isfinite(float(g32))
+
+
+def test_physics_g_gradients_finite_at_float32(setup):
+    """Round-5 float32 regression #2: ``delta_z`` / ``mixing_length``
+    formed the ~1e-20 CGS product ``m_bar * g``, whose reverse-mode
+    quotient rule squares it to ~1e-40 — the reciprocal overflows
+    float32 and EVERY gradient w.r.t. gravity came back inf at
+    production dtype (fine at float64, where all the other grad tests
+    live).  Pinned at the function level in float32."""
+    from frei_tpu.rt import physics
+
+    planet, grid, _ = setup
+    p0 = planet.physics_params()
+    press = jnp.asarray(np.asarray(grid._consts.pressures), jnp.float32)
+    T1 = jnp.full(press.shape[0] - 1, 1800.0, jnp.float32)
+    p1, p2 = press[:-1], press[1:]
+
+    def par(g):
+        return PhysicsParams(g=g, m_bar=jnp.float32(p0.m_bar),
+                             alpha=jnp.float32(p0.alpha),
+                             n_dof=p0.n_dof)
+
+    for name, fn in [
+        ("delta_z", lambda g: jnp.sum(
+            physics.delta_z(T1, p1, p2, par(g)))),
+        ("mixing_length", lambda g: jnp.sum(
+            physics.mixing_length(T1, par(g)))),
+        ("rho_p", lambda g: jnp.sum(
+            physics.rho_p(T1, p1, p2, par(g)))),
+        ("convective_flux", lambda g: jnp.sum(
+            physics.convective_flux(
+                T1, T1 * jnp.float32(0.9), p1, p2, par(g)))),
+    ]:
+        grad = jax.grad(fn)(jnp.float32(p0.g))
+        assert np.isfinite(float(grad)), (name, float(grad))

@@ -91,10 +91,33 @@ def main():
     g = jax.jit(jax.value_and_grad(loss))
     w_g, (v, grads) = timed(g, T0_of(Bg))
     finite = bool(np.all(np.isfinite(np.asarray(grads))))
-    print(f"value_and_grad        B={Bg}: {w_g:.4f} s  "
+    print(f"value_and_grad (T0)   B={Bg}: {w_g:.4f} s  "
           f"{Bg * N_BINS / w_g / 1e6:.2f}M  grad_finite={finite}")
     assert finite, ("non-finite retrieval gradients at production "
                     "shape/dtype (the round-5 NaN-grad bug class)")
+
+    # per-column retrieval leg: gradients w.r.t. per-column gravity
+    # with per-column irradiation — the path that found BOTH round-5
+    # float32 gradient bugs (the f_pre where-trap and the m_bar*g
+    # quotient-rule overflow)
+    from frei_tpu.rt.physics import PhysicsParams
+    ftoa = jnp.broadcast_to(grid._consts.F_toa, (Bg, N_BINS)) \
+        * jnp.asarray(rng.uniform(0.8, 1.2, Bg), jnp.float32)[:, None]
+    cfg_d = SolverConfig(engine="xla", differentiable=True, **kw)
+
+    def loss_g(g_cols):
+        par = PhysicsParams(g=g_cols, m_bar=p.m_bar, alpha=p.alpha,
+                            n_dof=p.n_dof)
+        return jnp.sum(solve_rc_batched(
+            T0_of(Bg), grid._consts._replace(F_toa=ftoa), par,
+            grid._kappa_fn, cfg_d).flux ** 2) / 1e26
+
+    gp = jax.jit(jax.value_and_grad(loss_g))
+    w_p, (_, gcols) = timed(gp, jnp.full(Bg, p.g, jnp.float32))
+    finite_p = bool(np.all(np.isfinite(np.asarray(gcols))))
+    print(f"value_and_grad (g/col) B={Bg}: {w_p:.4f} s  "
+          f"grad_finite={finite_p}")
+    assert finite_p, "non-finite per-column gravity gradients"
 
 
 if __name__ == "__main__":
