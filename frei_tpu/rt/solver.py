@@ -541,15 +541,16 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
                 )(T, Fu, Fd, K)
                 return r.F_up, r.F_down, r.temps, r.dT
 
-            if cfg.differentiable:
-                # per-sweep rematerialization: a sweep's layer scan
-                # carries ~10 (B, L, W) coupler/Planck intermediates;
-                # without this the backward of ONE iteration holds
-                # both sweeps' sets at once (the measured difference
-                # between fitting and OOMing the 8192-column headline
-                # shape on a 16 GB chip, docs/retrieval.md)
-                emit = jax.checkpoint(emit)
-                absorb = jax.checkpoint(absorb)
+        if cfg.differentiable:
+            # per-sweep rematerialization (BOTH the shared-planet and
+            # the per-column sweep variants): a sweep's layer scan
+            # carries ~10 (B, L, W) coupler/Planck intermediates;
+            # without this the backward of ONE iteration holds both
+            # sweeps' sets at once (the measured difference between
+            # fitting and OOMing the 8192-column headline shape on a
+            # 16 GB chip, docs/retrieval.md)
+            emit = jax.checkpoint(emit)
+            absorb = jax.checkpoint(absorb)
 
         iteration = None
     else:
@@ -694,6 +695,14 @@ def solve_rc_batched(init_temps, consts, params, kappa_all,
         # (see SolverConfig.remat_chunk; measured OOM fix at the
         # 8192-column headline shape).
         T = cfg.n_timesteps
+        if cfg.remat_chunk < 0:
+            # divmod with a negative chunk would give lax.scan a
+            # negative length, which runs ZERO iterations and returns
+            # the un-iterated initial state as the "solution" —
+            # silently wrong physics.  Refuse loudly.
+            raise ValueError(
+                f"remat_chunk must be >= 0 (0 = auto), got "
+                f"{cfg.remat_chunk}")
         chunk = cfg.remat_chunk or max(1, int(round(T ** 0.5)))
         chunk = min(chunk, T)
 
