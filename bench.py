@@ -13,7 +13,10 @@ legs every run (no flags needed):
   fused engines (BASELINE config 5, reference `core.py:48-62`);
 * ``"chemistry"`` — equilibrium chemistry (table mode) inside the RC
   loop instead of the constant-VMR mock (BASELINE config 4, reference
-  `opacity.py:246-248`).
+  `opacity.py:246-248`);
+* ``"gradient"`` — one ``value_and_grad`` through the differentiable
+  solver at 6144 columns (the retrieval path, docs/retrieval.md),
+  asserting gradient finiteness at production shape/dtype.
 
 vs_baseline: speedup over the reference-equivalent execution model — a
 single-column, float64, per-layer-loop numpy implementation of the
@@ -70,9 +73,9 @@ _T_SCALE = float(os.environ.get("FREI_BENCH_TIMEOUT_SCALE", "1.0"))
 TIMEOUTS = {k: v * _T_SCALE
             for k, v in {"preflight": 150, "headline": 1800,
                          "oracle": 900, "population": 1500,
-                         "chemistry": 1500}.items()}
+                         "chemistry": 1500, "gradient": 1500}.items()}
 RETRIES = {"preflight": 3, "headline": 2, "oracle": 1,
-           "population": 2, "chemistry": 2}
+           "population": 2, "chemistry": 2, "gradient": 2}
 BACKOFF_S = 30 * _T_SCALE
 
 
@@ -188,6 +191,47 @@ def leg_population():
     return {"value": round(throughput, 1), "wall_s": round(wall, 4)}
 
 
+def leg_gradient():
+    """Differentiable-path leg (docs/retrieval.md): one
+    ``value_and_grad`` of a spectrum loss through the fixed-horizon
+    rematerialized solver at 6144 columns (the measured fit ceiling
+    of a 16 GB chip at this shape; 8192 exceeds HBM by ~1.2 GB).
+    Asserts gradient finiteness at production shape/dtype — the
+    round-5 float32 NaN-gradient bug class."""
+    import jax
+    import jax.numpy as jnp
+
+    from frei_tpu.rt.solver import SolverConfig, solve_rc_batched
+
+    n_grad_cols = min(N_COLUMNS, 6144)
+    planet, grid, _, T0 = _solver_inputs()
+    T0 = jnp.asarray(T0[:n_grad_cols], jnp.float32)
+    cfg = SolverConfig(n_timesteps=N_ITERS, n_zero_crossings=10 ** 6,
+                       convergence_dT=0.0, engine="xla",
+                       differentiable=True)
+
+    def loss(T):
+        res = solve_rc_batched(T, grid._consts,
+                               planet.physics_params(),
+                               grid._kappa_fn, cfg)
+        return jnp.sum(res.flux ** 2) / 1e26
+
+    g = jax.jit(jax.value_and_grad(loss))
+    out = g(T0)
+    jax.block_until_ready(out[1])          # compile + warm-up
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = g(T0)
+        jax.block_until_ready(out[1])
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    assert np.all(np.isfinite(np.asarray(out[1]))), \
+        "non-finite retrieval gradients at production shape/dtype"
+    return {"value": round(n_grad_cols * N_BINS / wall, 1),
+            "wall_s": round(wall, 4), "columns": n_grad_cols}
+
+
 def leg_oracle():
     """Single-column float64 numpy per-layer-loop baseline.
 
@@ -246,7 +290,7 @@ def leg_oracle():
 
 LEGS = {"preflight": leg_preflight, "headline": leg_headline,
         "oracle": leg_oracle, "population": leg_population,
-        "chemistry": leg_chemistry}
+        "chemistry": leg_chemistry, "gradient": leg_gradient}
 
 
 # --------------------------------------------------------------------------
@@ -379,6 +423,7 @@ def main():
     oracle, oerr = _run_leg("oracle")
     population, perr = _run_leg("population")
     chemistry, cerr = _run_leg("chemistry")
+    gradient, gerr = _run_leg("gradient")
 
     record = {
         "metric": METRIC,
@@ -386,6 +431,7 @@ def main():
         "unit": "columns*bins/s",
         "population": population or {"error": perr},
         "chemistry": chemistry or {"error": cerr},
+        "gradient": gradient or {"error": gerr},
         "details": {
             "batch_columns": N_COLUMNS,
             "wall_s": head["wall_s"],
